@@ -1,0 +1,283 @@
+"""Scene model: host-side authoring container + device-side SoA pytree.
+
+``Scene`` plays the role of the reference's ``Raytracer`` scene state
+(objects_/meshes_/lights_/camera_/background_/ambience_/max_depth_,
+mytracer.cpp:27-36) plus its AoS->SoA packer ``build_Data``
+(mytracer.cpp:166-296): meshes are flattened into global vertex/index
+arrays with rebased indices, per-mesh texture blocks are concatenated into
+one texel atlas, and materials live in one table indexed per object.
+
+``SceneData`` is the device-side result: a single JAX pytree of flat
+float32/int32 arrays (static shapes), replicated into each chip's HBM.
+Every differentiable quantity (vertex positions, vertex normals, material
+colors, light parameters, texels, sphere/plane geometry) is a pytree leaf,
+so ``jax.grad`` flows into it with no extra machinery.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from myraytracer_tpu.models.camera import Camera
+from myraytracer_tpu.models.light import Light
+from myraytracer_tpu.models.material import Material
+from myraytracer_tpu.models.mesh import TriangleMesh
+from myraytracer_tpu.ops import bvh as bvh_mod
+
+
+def _f32(x):
+    return jnp.asarray(np.asarray(x, np.float32))
+
+
+def _i32(x):
+    return jnp.asarray(np.asarray(x, np.int32))
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class SceneData:
+    """Flat device SoA scene. All arrays jnp, all shapes static."""
+
+    # --- analytic primitives ---
+    sphere_center: jnp.ndarray   # [S, 3]
+    sphere_radius: jnp.ndarray   # [S]
+    sphere_mat: jnp.ndarray      # [S] int32 -> material table
+    plane_center: jnp.ndarray    # [P, 3]
+    plane_normal: jnp.ndarray    # [P, 3]
+    plane_mat: jnp.ndarray       # [P] int32
+
+    # --- triangle geometry (BVH-ordered) ---
+    vertex_pos: jnp.ndarray      # [V, 3]
+    vertex_normal: jnp.ndarray   # [V, 3]
+    tri_vidx: jnp.ndarray        # [T, 3] int32
+    tri_uvidx: jnp.ndarray       # [T, 3] int32 (0 when mesh has no UVs)
+    tri_mat: jnp.ndarray         # [T] int32
+    tri_flags: jnp.ndarray       # [T] int32: draw mode (0 FLAT / 1 PHONG)
+    tri_tex: jnp.ndarray         # [T, 3] int32: (tex_w, tex_h, tex_offset); w=-1 -> untextured
+    uv_u: jnp.ndarray            # [U]
+    uv_v: jnp.ndarray            # [U]
+    texels: jnp.ndarray          # [X, 3] texture atlas
+
+    # --- material table ---
+    mat_ambient: jnp.ndarray     # [Mt, 3]
+    mat_diffuse: jnp.ndarray     # [Mt, 3]
+    mat_specular: jnp.ndarray    # [Mt, 3]
+    mat_mirror: jnp.ndarray      # [Mt]
+    mat_shininess: jnp.ndarray   # [Mt]
+    mat_shadowable: jnp.ndarray  # [Mt] float 0/1
+
+    # --- lights & globals ---
+    light_pos: jnp.ndarray       # [L, 3]
+    light_color: jnp.ndarray     # [L, 3]
+    background: jnp.ndarray      # [3]
+    ambience: jnp.ndarray        # [3]
+
+    # --- BVH (threaded, octant-ordered; ops/bvh.py) ---
+    bvh_bbmin: jnp.ndarray       # [N, 3]
+    bvh_bbmax: jnp.ndarray       # [N, 3]
+    bvh_first: jnp.ndarray       # [N] int32
+    bvh_count: jnp.ndarray       # [N] int32 (0 = internal)
+    bvh_entry: jnp.ndarray       # [8, N] int32
+    bvh_skip: jnp.ndarray        # [8, N] int32
+
+    # --- static config ---
+    max_depth: int = dataclasses.field(metadata=dict(static=True), default=3)
+    max_leaf: int = dataclasses.field(metadata=dict(static=True), default=2)
+
+    # static shape helpers (shapes are trace-time constants under jit)
+    @property
+    def n_spheres(self) -> int:
+        return self.sphere_center.shape[0]
+
+    @property
+    def n_planes(self) -> int:
+        return self.plane_center.shape[0]
+
+    @property
+    def n_tris(self) -> int:
+        return self.tri_vidx.shape[0]
+
+    @property
+    def n_lights(self) -> int:
+        return self.light_pos.shape[0]
+
+    @property
+    def n_nodes(self) -> int:
+        return self.bvh_bbmin.shape[0]
+
+
+class Scene:
+    """Host-side scene under construction. Call :meth:`build` to pack."""
+
+    def __init__(self) -> None:
+        self.camera: Camera = Camera.make(
+            eye=(0.0, 0.0, 5.0), center=(0.0, 0.0, 0.0), up=(0.0, 1.0, 0.0),
+            fovy=45.0, width=256, height=256,
+        )
+        self.lights: List[Light] = []
+        self.background: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+        self.ambience: Tuple[float, float, float] = (0.2, 0.2, 0.2)
+        self.max_depth: int = 3
+        self._spheres: List[Tuple[np.ndarray, float, Material]] = []
+        self._planes: List[Tuple[np.ndarray, np.ndarray, Material]] = []
+        self._meshes: List[TriangleMesh] = []
+
+    # --- authoring API -----------------------------------------------------
+    def set_camera(self, eye, center, up, fovy, width, height) -> "Scene":
+        self.camera = Camera.make(eye, center, up, fovy, width, height)
+        return self
+
+    def add_light(self, position, color) -> "Scene":
+        self.lights.append(Light(tuple(position), tuple(color)))
+        return self
+
+    def add_sphere(self, center, radius: float, material: Material) -> "Scene":
+        self._spheres.append((np.asarray(center, np.float32), float(radius), material))
+        return self
+
+    def add_plane(self, center, normal, material: Material) -> "Scene":
+        n = np.asarray(normal, np.float64)
+        n = (n / np.linalg.norm(n)).astype(np.float32)
+        self._planes.append((np.asarray(center, np.float32), n, material))
+        return self
+
+    def add_mesh(self, mesh: TriangleMesh) -> "Scene":
+        self._meshes.append(mesh)
+        return self
+
+    @property
+    def meshes(self) -> List[TriangleMesh]:
+        return self._meshes
+
+    # --- packing -----------------------------------------------------------
+    def build(self) -> SceneData:
+        """Pack the scene into device SoA arrays and build the BVH."""
+        materials: List[Material] = []
+
+        def mat_id(m: Material) -> int:
+            materials.append(m)
+            return len(materials) - 1
+
+        # spheres / planes
+        s_center = np.zeros((len(self._spheres), 3), np.float32)
+        s_radius = np.zeros((len(self._spheres),), np.float32)
+        s_mat = np.zeros((len(self._spheres),), np.int32)
+        for i, (c, r, m) in enumerate(self._spheres):
+            s_center[i], s_radius[i], s_mat[i] = c, r, mat_id(m)
+
+        p_center = np.zeros((len(self._planes), 3), np.float32)
+        p_normal = np.zeros((len(self._planes), 3), np.float32)
+        p_mat = np.zeros((len(self._planes),), np.int32)
+        for i, (c, n, m) in enumerate(self._planes):
+            p_center[i], p_normal[i], p_mat[i] = c, n, mat_id(m)
+
+        # meshes -> global flat arrays with rebased indices
+        # (the pack loop of build_Data, mytracer.cpp:221-294, redone in NumPy)
+        vtx_pos, vtx_nrm = [], []
+        tri_vidx, tri_uvidx, tri_mat, tri_flags, tri_tex = [], [], [], [], []
+        uv_u, uv_v = [], []
+        texels = []
+        vbase = ubase = 0
+        tex_offset = 0
+        for mesh in self._meshes:
+            mid = mat_id(mesh.material)
+            T = mesh.n_triangles
+            vtx_pos.append(mesh.vertices)
+            vtx_nrm.append(mesh.vertex_normals)
+            tri_vidx.append(mesh.triangles.astype(np.int64) + vbase)
+            tri_mat.append(np.full(T, mid, np.int32))
+            tri_flags.append(np.full(T, mesh.draw_mode, np.int32))
+            if mesh.has_texture:
+                tri_uvidx.append(mesh.uv_indices.astype(np.int64) + ubase)
+                uv_u.append(mesh.u_coords)
+                uv_v.append(mesh.v_coords)
+                ubase += mesh.u_coords.shape[0]
+                th, tw = mesh.texture.shape[:2]
+                tri_tex.append(np.tile([[tw, th, tex_offset]], (T, 1)).astype(np.int64))
+                texels.append(mesh.texture.reshape(-1, 3))
+                tex_offset += tw * th
+            else:
+                tri_uvidx.append(np.zeros((T, 3), np.int64))
+                tri_tex.append(np.tile([[-1, -1, 0]], (T, 1)).astype(np.int64))
+            vbase += mesh.n_vertices
+
+        def cat(parts, empty_shape, dtype):
+            if parts:
+                return np.concatenate(parts, axis=0).astype(dtype)
+            return np.zeros(empty_shape, dtype)
+
+        vertex_pos = cat(vtx_pos, (0, 3), np.float32)
+        vertex_normal = cat(vtx_nrm, (0, 3), np.float32)
+        tri_vidx_a = cat(tri_vidx, (0, 3), np.int32)
+        tri_uvidx_a = cat(tri_uvidx, (0, 3), np.int32)
+        tri_mat_a = cat(tri_mat, (0,), np.int32)
+        tri_flags_a = cat(tri_flags, (0,), np.int32)
+        tri_tex_a = cat(tri_tex, (0, 3), np.int32)
+        uv_u_a = cat(uv_u, (0,), np.float32)
+        uv_v_a = cat(uv_v, (0,), np.float32)
+        texels_a = cat(texels, (0, 3), np.float32)
+        if uv_u_a.shape[0] == 0:
+            uv_u_a = np.zeros((1,), np.float32)
+            uv_v_a = np.zeros((1,), np.float32)
+        if texels_a.shape[0] == 0:
+            texels_a = np.zeros((1, 3), np.float32)
+
+        # BVH over all triangles (physically permute per leaf partition,
+        # like initSoA's index-triple swaps, mybvh.cpp:497-503)
+        n_tris = tri_vidx_a.shape[0]
+        max_leaf = 2
+        if n_tris > 0:
+            p0 = vertex_pos[tri_vidx_a[:, 0]]
+            p1 = vertex_pos[tri_vidx_a[:, 1]]
+            p2 = vertex_pos[tri_vidx_a[:, 2]]
+            tree = bvh_mod.build_bvh(p0, p1, p2)
+            perm = tree.order
+            tri_vidx_a = tri_vidx_a[perm]
+            tri_uvidx_a = tri_uvidx_a[perm]
+            tri_mat_a = tri_mat_a[perm]
+            tri_flags_a = tri_flags_a[perm]
+            tri_tex_a = tri_tex_a[perm]
+            bvh_arrays = (tree.bbmin, tree.bbmax, tree.first, tree.count,
+                          tree.entry, tree.skip)
+            max_leaf = tree.max_leaf
+        else:
+            bvh_arrays = (
+                np.zeros((1, 3), np.float32), np.zeros((1, 3), np.float32),
+                np.zeros((1,), np.int32), np.zeros((1,), np.int32),
+                np.full((8, 1), -1, np.int32), np.full((8, 1), -1, np.int32),
+            )
+
+        # material table
+        if not materials:
+            materials.append(Material())
+        amb = np.stack([np.asarray(m.ambient, np.float32) for m in materials])
+        dif = np.stack([np.asarray(m.diffuse, np.float32) for m in materials])
+        spc = np.stack([np.asarray(m.specular, np.float32) for m in materials])
+        mir = np.asarray([m.mirror for m in materials], np.float32)
+        shi = np.asarray([m.shininess for m in materials], np.float32)
+        shd = np.asarray([1.0 if m.shadowable else 0.0 for m in materials], np.float32)
+
+        lp = np.asarray([l.position for l in self.lights], np.float32).reshape(-1, 3)
+        lc = np.asarray([l.color for l in self.lights], np.float32).reshape(-1, 3)
+
+        return SceneData(
+            sphere_center=_f32(s_center), sphere_radius=_f32(s_radius), sphere_mat=_i32(s_mat),
+            plane_center=_f32(p_center), plane_normal=_f32(p_normal), plane_mat=_i32(p_mat),
+            vertex_pos=_f32(vertex_pos), vertex_normal=_f32(vertex_normal),
+            tri_vidx=_i32(tri_vidx_a), tri_uvidx=_i32(tri_uvidx_a),
+            tri_mat=_i32(tri_mat_a), tri_flags=_i32(tri_flags_a), tri_tex=_i32(tri_tex_a),
+            uv_u=_f32(uv_u_a), uv_v=_f32(uv_v_a), texels=_f32(texels_a),
+            mat_ambient=_f32(amb), mat_diffuse=_f32(dif), mat_specular=_f32(spc),
+            mat_mirror=_f32(mir), mat_shininess=_f32(shi), mat_shadowable=_f32(shd),
+            light_pos=_f32(lp), light_color=_f32(lc),
+            background=_f32(self.background), ambience=_f32(self.ambience),
+            bvh_bbmin=_f32(bvh_arrays[0]), bvh_bbmax=_f32(bvh_arrays[1]),
+            bvh_first=_i32(bvh_arrays[2]), bvh_count=_i32(bvh_arrays[3]),
+            bvh_entry=_i32(bvh_arrays[4]), bvh_skip=_i32(bvh_arrays[5]),
+            max_depth=int(self.max_depth), max_leaf=int(max_leaf),
+        )

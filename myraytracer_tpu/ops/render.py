@@ -1,0 +1,142 @@
+"""Render drivers: tiled primary pass + adaptive supersampling.
+
+Replaces the reference's kernel pair (compute_image_device +
+adaptive_supersampling_device, mytracer_gpu.cu:119-229) with two
+wavefront passes:
+
+  pass 1  one ray per pixel, traced in fixed-size flat tiles via
+          ``lax.map`` (bounds live memory the way the 16x16 CUDA grid
+          bounds threadblocks);
+  pass 2  the reference's adaptivity rule — 4-neighborhood squared-color
+          deviation > threshold (mytracer_gpu.cu:195-198) — but made
+          static-shape: the K most-deviating pixels are *compacted* with
+          top_k, supersampled with a stratified subp x subp grid
+          (mytracer_gpu.cu:202-221), and scattered back. K is a static
+          budget; pixels below threshold inside the budget keep their
+          pass-1 color, so the result equals the reference rule whenever
+          the budget covers all above-threshold pixels.
+
+Everything is jit-compiled once per (scene shapes, camera size, config).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from myraytracer_tpu.models.camera import Camera
+from myraytracer_tpu.ops import tracer as tr
+
+#: reference supersampling constants (mytracer_gpu.cu:83-84)
+AA_SUBP = 4
+AA_THRESHOLD = 0.02
+
+#: default rays per tile for the primary pass
+TILE = 1 << 16
+
+
+def _trace_tiled(scene, o, d, cfg: tr.TraceConfig, tile: int) -> jnp.ndarray:
+    """Trace a flat [R, 3] ray batch in fixed-size tiles."""
+    R = o.shape[0]
+    if R <= tile:
+        return tr.trace(scene, o, d, cfg)
+    n_tiles = (R + tile - 1) // tile
+    pad = n_tiles * tile - R
+    o_t = jnp.pad(o, ((0, pad), (0, 0))).reshape(n_tiles, tile, 3)
+    d_pad = jnp.pad(d, ((0, pad), (0, 0)))
+    # padded rays get the last real direction so they trace cheaply/validly
+    if pad:
+        d_pad = d_pad.at[R:].set(d[-1])
+    d_t = d_pad.reshape(n_tiles, tile, 3)
+    colors = jax.lax.map(lambda od: tr.trace(scene, od[0], od[1], cfg), (o_t, d_t))
+    return colors.reshape(n_tiles * tile, 3)[:R]
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "tile", "clamp"))
+def render(
+    scene,
+    camera: Camera,
+    cfg: tr.TraceConfig = tr.TraceConfig(),
+    tile: int = TILE,
+    clamp: bool = True,
+) -> jnp.ndarray:
+    """Primary 1-spp render -> [H, W, 3].
+
+    Colors are clamped to <= 1 per pixel like the reference kernel
+    (min(color, 1), mytracer_gpu.cu:155) unless ``clamp=False`` (the
+    differentiable path prefers the unclamped linear image).
+    """
+    xs, ys = camera.pixel_grid()
+    o, d = camera.primary_rays(xs.ravel(), ys.ravel())
+    color = _trace_tiled(scene, o, d, cfg, tile)
+    img = color.reshape(camera.height, camera.width, 3)
+    if clamp:
+        img = jnp.minimum(img, 1.0)
+    return img
+
+
+def _deviation(img: jnp.ndarray) -> jnp.ndarray:
+    """Sum of squared color distance to the 4-neighborhood.
+
+    Parity with mytracer_gpu.cu:195-196; the 1-pixel border never
+    supersamples (the reference kernel returns early there, :183-188).
+    """
+    c = img
+    d = jnp.zeros(img.shape[:2], img.dtype)
+    d = d.at[:, :-1].add(jnp.sum((c[:, :-1] - c[:, 1:]) ** 2, axis=-1))
+    d = d.at[:, 1:].add(jnp.sum((c[:, 1:] - c[:, :-1]) ** 2, axis=-1))
+    d = d.at[:-1, :].add(jnp.sum((c[:-1] - c[1:]) ** 2, axis=-1))
+    d = d.at[1:, :].add(jnp.sum((c[1:] - c[:-1]) ** 2, axis=-1))
+    border = jnp.zeros_like(d, dtype=bool)
+    border = border.at[0, :].set(True).at[-1, :].set(True)
+    border = border.at[:, 0].set(True).at[:, -1].set(True)
+    return jnp.where(border, 0.0, d)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "tile", "subp", "budget_frac")
+)
+def render_aa(
+    scene,
+    camera: Camera,
+    cfg: tr.TraceConfig = tr.TraceConfig(),
+    tile: int = TILE,
+    subp: int = AA_SUBP,
+    threshold: float = AA_THRESHOLD,
+    budget_frac: float = 0.25,
+) -> jnp.ndarray:
+    """Render + adaptive supersampling second pass -> [H, W, 3] in [0,1].
+
+    ``budget_frac`` is the static compaction budget as a fraction of the
+    image; above-threshold pixels beyond the budget (ordered by
+    deviation) would keep their 1-spp color.
+    """
+    H, W = camera.height, camera.width
+    img1 = render(scene, camera, cfg, tile, clamp=True)
+
+    dev = _deviation(img1).ravel()
+    K = max(1, int(H * W * budget_frac))
+    K = min(K, H * W)
+    top_dev, top_idx = jax.lax.top_k(dev, K)
+    sel = top_dev > threshold  # [K]
+
+    px = (top_idx % W).astype(jnp.float32)
+    py = (top_idx // W).astype(jnp.float32)
+
+    # stratified subp x subp offsets at cell centers (mytracer_gpu.cu:202-209)
+    steps = (jnp.arange(subp, dtype=jnp.float32) / subp) - 0.5 + 1.0 / (2.0 * subp)
+    ox, oy = jnp.meshgrid(steps, steps, indexing="ij")
+    offs = jnp.stack([ox.ravel(), oy.ravel()], axis=1)  # [subp^2, 2]
+
+    xs = (px[:, None] + offs[None, :, 0]).ravel()
+    ys = (py[:, None] + offs[None, :, 1]).ravel()
+    o, d = camera.primary_rays(xs, ys)
+    colors = _trace_tiled(scene, o, d, cfg, tile)
+    avg = jnp.minimum(colors.reshape(K, subp * subp, 3).mean(axis=1), 1.0)
+
+    flat = img1.reshape(-1, 3)
+    new = jnp.where(sel[:, None], avg, flat[top_idx])
+    return flat.at[top_idx].set(new).reshape(H, W, 3)

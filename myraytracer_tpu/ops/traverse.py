@@ -1,0 +1,190 @@
+"""Stackless vectorized BVH traversal (XLA path).
+
+The reference traverses with an explicit per-thread ``int stack[64]`` and
+near-child-first push ordering (mytracer_gpu.cu:340-424). That shape —
+divergent stacks, data-dependent branching — is exactly what a TPU vector
+machine cannot run. Instead we walk the *threaded* BVH from ops/bvh.py:
+
+  * each ray carries one node pointer; a step either descends into a hit
+    subtree (``entry`` link, near child first thanks to the per-octant
+    threading) or jumps over a culled subtree (``skip`` link);
+  * the whole ray batch advances in lock-step inside one
+    ``lax.while_loop``; finished rays idle with pointer -1;
+  * leaf triangle tests unroll a static ``max_leaf``-trip loop (leaf size
+    is statically bounded by the builder);
+  * subtrees are additionally culled against the current best hit
+    (``tmin <= t_best``) — an improvement over the reference AABB test
+    which only checks ``tmax > eps`` (mybvh.cpp:134).
+
+Traversal is *topology only*: it returns the winning triangle index and a
+non-differentiable distance. Shading re-solves the hit differentiably
+(ops/shade.py), which is what makes the whole pipeline autodiff-clean
+(fixed-hit-topology reparameterization).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from myraytracer_tpu.ops import intersect as isx
+
+
+class TriHit(NamedTuple):
+    """Per-ray closest triangle: index (-1 = miss) and distance."""
+
+    idx: jnp.ndarray   # [R] int32
+    t: jnp.ndarray     # [R] float32 (INF on miss); NOT differentiable
+
+
+class _State(NamedTuple):
+    ptr: jnp.ndarray
+    t: jnp.ndarray
+    idx: jnp.ndarray
+    steps: jnp.ndarray
+
+
+def traverse_bvh(
+    scene,
+    o: jnp.ndarray,
+    d: jnp.ndarray,
+    t_max: Optional[jnp.ndarray] = None,
+    any_hit: bool = False,
+    active: Optional[jnp.ndarray] = None,
+) -> TriHit:
+    """Closest (or any) ray-triangle hit through the threaded BVH.
+
+    Args:
+        scene: SceneData (uses bvh_* / tri_vidx / vertex_pos leaves).
+        o, d: [R, 3] ray origins / directions.
+        t_max: optional [R] upper bound — hits at or beyond it are ignored
+            (used by shadow rays with the light distance).
+        any_hit: if True, a ray retires as soon as any hit < t_max is
+            found (shadow occlusion semantics: isShadow = hit && 0 < t <
+            light_distance, mytracer.cpp:599).
+        active: optional [R] bool mask; inactive rays never traverse.
+    """
+    o = jax.lax.stop_gradient(o)
+    d = jax.lax.stop_gradient(d)
+    n_nodes = scene.n_nodes
+    R = o.shape[0]
+
+    if scene.n_tris == 0:
+        return TriHit(jnp.full((R,), -1, jnp.int32), jnp.full((R,), isx.INF))
+
+    bvh_bbmin = jax.lax.stop_gradient(scene.bvh_bbmin)
+    bvh_bbmax = jax.lax.stop_gradient(scene.bvh_bbmax)
+    vertex_pos = jax.lax.stop_gradient(scene.vertex_pos)
+    tri_vidx = scene.tri_vidx
+    bvh_first, bvh_count = scene.bvh_first, scene.bvh_count
+    entry_flat = scene.bvh_entry.reshape(-1)
+    skip_flat = scene.bvh_skip.reshape(-1)
+
+    inv_d = 1.0 / d  # IEEE inf on zero components == reference raw division
+    octant = (
+        (d[:, 0] < 0).astype(jnp.int32)
+        + 2 * (d[:, 1] < 0).astype(jnp.int32)
+        + 4 * (d[:, 2] < 0).astype(jnp.int32)
+    )
+    link_base = octant * n_nodes
+
+    t0 = jnp.full((R,), isx.INF) if t_max is None else jnp.asarray(t_max)
+    start = jnp.zeros((R,), jnp.int32)
+    if active is not None:
+        start = jnp.where(active, start, -1)
+
+    init = _State(
+        ptr=start,
+        t=t0,
+        idx=jnp.full((R,), -1, jnp.int32),
+        steps=jnp.zeros((), jnp.int32),
+    )
+
+    def cond(s: _State):
+        return jnp.any(s.ptr >= 0)
+
+    def body(s: _State) -> _State:
+        alive = s.ptr >= 0
+        p = jnp.maximum(s.ptr, 0)
+        node_min = bvh_bbmin[p]
+        node_max = bvh_bbmax[p]
+        box_hit, tmin = isx.ray_aabb(o, inv_d, node_min, node_max)
+        box_hit &= alive & (tmin <= s.t)
+
+        count = bvh_count[p]
+        first = bvh_first[p]
+        is_leaf = count > 0
+
+        t_best, i_best = s.t, s.idx
+        leaf_work = box_hit & is_leaf
+        for k in range(scene.max_leaf):
+            tri_ok = leaf_work & (k < count)
+            ti = jnp.where(tri_ok, first + k, 0)
+            vidx = tri_vidx[ti]
+            p0 = vertex_pos[vidx[:, 0]]
+            p1 = vertex_pos[vidx[:, 1]]
+            p2 = vertex_pos[vidx[:, 2]]
+            t_tri, _, _ = isx.ray_triangle(o, d, p0, p1, p2)
+            better = tri_ok & (t_tri < t_best)
+            t_best = jnp.where(better, t_tri, t_best)
+            i_best = jnp.where(better, ti, i_best)
+
+        descend = box_hit & ~is_leaf
+        nxt = jnp.where(descend, entry_flat[link_base + p], skip_flat[link_base + p])
+        ptr = jnp.where(alive, nxt, -1)
+        if any_hit:
+            ptr = jnp.where(i_best >= 0, -1, ptr)
+        return _State(ptr, t_best, i_best, s.steps + 1)
+
+    out = jax.lax.while_loop(cond, body, init)
+    t_hit = jnp.where(out.idx >= 0, out.t, isx.INF)
+    return TriHit(out.idx, jax.lax.stop_gradient(t_hit))
+
+
+def intersect_tris_brute(scene, o, d, t_max=None, chunk: int = 512) -> TriHit:
+    """Brute-force closest triangle over ALL tris — the oracle for the BVH
+    (and the M2 path for small scenes; SURVEY.md §7 build plan).
+
+    Scans triangle blocks with a fori_loop so memory stays [R, chunk].
+    """
+    R = o.shape[0]
+    T = scene.n_tris
+    if T == 0:
+        return TriHit(jnp.full((R,), -1, jnp.int32), jnp.full((R,), isx.INF))
+    o = jax.lax.stop_gradient(o)
+    d = jax.lax.stop_gradient(d)
+    vertex_pos = jax.lax.stop_gradient(scene.vertex_pos)
+
+    n_chunks = (T + chunk - 1) // chunk
+    Tpad = n_chunks * chunk
+    vidx = jnp.pad(scene.tri_vidx, ((0, Tpad - T), (0, 0)))
+
+    t0 = jnp.full((R,), isx.INF) if t_max is None else jnp.asarray(t_max)
+
+    def body(c, carry):
+        t_best, i_best = carry
+        base = c * chunk
+        ids = base + jnp.arange(chunk, dtype=jnp.int32)
+        vi = jax.lax.dynamic_slice_in_dim(vidx, base, chunk, axis=0)
+        p0 = vertex_pos[vi[:, 0]]
+        p1 = vertex_pos[vi[:, 1]]
+        p2 = vertex_pos[vi[:, 2]]
+        # [R, chunk] batched triangle solve
+        t_tri, _, _ = isx.ray_triangle(
+            o[:, None, :], d[:, None, :], p0[None], p1[None], p2[None]
+        )
+        t_tri = jnp.where((ids < T)[None, :], t_tri, isx.INF)
+        k = jnp.argmin(t_tri, axis=1)
+        t_min = jnp.take_along_axis(t_tri, k[:, None], axis=1)[:, 0]
+        better = t_min < t_best
+        t_best = jnp.where(better, t_min, t_best)
+        i_best = jnp.where(better, ids[k], i_best)
+        return t_best, i_best
+
+    t_best, i_best = jax.lax.fori_loop(
+        0, n_chunks, body, (t0, jnp.full((R,), -1, jnp.int32))
+    )
+    t_hit = jnp.where(i_best >= 0, t_best, isx.INF)
+    return TriHit(i_best, jax.lax.stop_gradient(t_hit))

@@ -1,0 +1,222 @@
+"""Independent scalar NumPy reference renderer (the test oracle).
+
+Deliberately written in the reference's per-ray recursive style — plain
+Python loops, no JAX, no shared code with the framework's vectorized
+path — so it serves as a second implementation for cross-backend
+agreement testing, the validation strategy the reference itself relies on
+(SURVEY.md §4: CPU and GPU "act as the other's oracle").
+
+Integrator semantics mirror the visible GPU twin
+(mytracer_gpu.cu:237-312): (1-m)*local + m*chain, weight *= m,
+miss adds weight*background.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+EPS_HIT = 1e-5
+EPS_OFFSET = 1e-4
+
+
+def _normalize(v):
+    n = np.linalg.norm(v)
+    return v / n if n > 0 else v
+
+
+def _hit_sphere(o, d, c, r):
+    oc = o - c
+    a = d @ d
+    b = 2 * oc @ d
+    cc = oc @ oc - r * r
+    disc = b * b - 4 * a * cc
+    if disc < 0:
+        return np.inf
+    sq = np.sqrt(disc)
+    t0 = (-b - sq) / (2 * a)
+    t1 = (-b + sq) / (2 * a)
+    t = t0 if t0 > EPS_HIT else t1
+    return t if t > EPS_HIT else np.inf
+
+
+def _hit_plane(o, d, c, n):
+    cos = n @ d
+    if abs(cos) < 1e-9:
+        return np.inf
+    t = (n @ c - n @ o) / cos
+    return t if t > EPS_HIT else np.inf
+
+
+def _hit_triangle(o, d, p0, p1, p2):
+    """Cramer's-rule solve; returns (t, alpha, beta) or (inf, 0, 0)."""
+    m = np.stack([p0 - p2, p1 - p2, -d], axis=1)
+    det = np.linalg.det(m)
+    if abs(det) < 1e-10:
+        return np.inf, 0.0, 0.0
+    rhs = o - p2
+    sol = np.linalg.solve(m, rhs)
+    alpha, beta, t = sol
+    gamma = 1.0 - alpha - beta
+    if t <= EPS_HIT:
+        return np.inf, 0.0, 0.0
+    if not (0 <= alpha <= 1 and 0 <= beta <= 1 and 0 <= gamma <= 1):
+        return np.inf, 0.0, 0.0
+    return t, alpha, beta
+
+
+class OracleRenderer:
+    """Renders a built SceneData + Camera with scalar loops."""
+
+    def __init__(self, scene, camera):
+        import numpy as _np
+
+        g = lambda a: _np.asarray(a)
+        self.s = scene
+        self.cam = camera
+        self.sphere_center = g(scene.sphere_center)
+        self.sphere_radius = g(scene.sphere_radius)
+        self.sphere_mat = g(scene.sphere_mat)
+        self.plane_center = g(scene.plane_center)
+        self.plane_normal = g(scene.plane_normal)
+        self.plane_mat = g(scene.plane_mat)
+        self.vp = g(scene.vertex_pos).astype(np.float64)
+        self.vn = g(scene.vertex_normal).astype(np.float64)
+        self.tv = g(scene.tri_vidx)
+        self.tuv = g(scene.tri_uvidx)
+        self.tmat = g(scene.tri_mat)
+        self.tflags = g(scene.tri_flags)
+        self.ttex = g(scene.tri_tex)
+        self.uu = g(scene.uv_u)
+        self.vv = g(scene.uv_v)
+        self.texels = g(scene.texels)
+        self.mat = {
+            "ambient": g(scene.mat_ambient),
+            "diffuse": g(scene.mat_diffuse),
+            "specular": g(scene.mat_specular),
+            "mirror": g(scene.mat_mirror),
+            "shininess": g(scene.mat_shininess),
+            "shadowable": g(scene.mat_shadowable),
+        }
+        self.light_pos = g(scene.light_pos)
+        self.light_color = g(scene.light_color)
+        self.background = g(scene.background)
+        self.ambience = g(scene.ambience)
+        self.max_depth = scene.max_depth
+
+    # --- closest hit over everything ---------------------------------------
+    def intersect_scene(self, o, d):
+        best = (np.inf, None, None)  # t, kind, idx
+        for i in range(self.sphere_center.shape[0]):
+            t = _hit_sphere(o, d, self.sphere_center[i], self.sphere_radius[i])
+            if t < best[0]:
+                best = (t, "sphere", i)
+        for i in range(self.plane_center.shape[0]):
+            t = _hit_plane(o, d, self.plane_center[i], self.plane_normal[i])
+            if t < best[0]:
+                best = (t, "plane", i)
+        for i in range(self.tv.shape[0]):
+            a, b, c = self.vp[self.tv[i, 0]], self.vp[self.tv[i, 1]], self.vp[self.tv[i, 2]]
+            t, al, be = _hit_triangle(o, d, a, b, c)
+            if t < best[0]:
+                best = (t, "tri", i)
+        return best
+
+    def _resolve(self, o, d, t, kind, idx):
+        point = o + t * d
+        if kind == "sphere":
+            n = _normalize(point - self.sphere_center[idx])
+            mid = self.sphere_mat[idx]
+            diffuse = self.mat["diffuse"][mid]
+        elif kind == "plane":
+            n = self.plane_normal[idx]
+            mid = self.plane_mat[idx]
+            diffuse = self.mat["diffuse"][mid]
+        else:
+            vi = self.tv[idx]
+            a, b, c = self.vp[vi[0]], self.vp[vi[1]], self.vp[vi[2]]
+            _, al, be = _hit_triangle(o, d, a, b, c)
+            ga = 1 - al - be
+            if self.tflags[idx] == 1:
+                n = al * self.vn[vi[0]] + be * self.vn[vi[1]] + ga * self.vn[vi[2]]
+            else:
+                n = _normalize(np.cross(b - a, c - a))
+            mid = self.tmat[idx]
+            diffuse = self.mat["diffuse"][mid]
+            W, H, off = self.ttex[idx]
+            if W > 0:
+                ui = self.tuv[idx]
+                u = al * self.uu[ui[0]] + be * self.uu[ui[1]] + ga * self.uu[ui[2]]
+                v = al * self.vv[ui[0]] + be * self.vv[ui[1]] + ga * self.vv[ui[2]]
+                u = min(max(u, 0.0), 1.0)
+                v = min(max(v, 0.0), 1.0)
+                px = int(round(u * (W - 1)))
+                py = int(round((1 - v) * (H - 1)))
+                diffuse = self.texels[off + py * W + px]
+        return point, n, mid, diffuse
+
+    def lighting(self, point, normal, view, mid, diffuse_color):
+        color = self.ambience * self.mat["ambient"][mid]
+        for k in range(self.light_pos.shape[0]):
+            lp, lc = self.light_pos[k], self.light_color[k]
+            l_dir = _normalize(lp - point)
+            diff = max(0.0, normal @ l_dir)
+            spec = 0.0
+            if diff > 0:
+                r = _normalize(2 * (l_dir @ normal) * normal - l_dir)
+                spec = max(0.0, r @ view) ** self.mat["shininess"][mid]
+            shadow = False
+            if self.mat["shadowable"][mid] > 0.5:
+                sd = np.linalg.norm(lp - point)
+                so = point + EPS_OFFSET * l_dir
+                t, kind, _ = self.intersect_scene(so, l_dir)
+                shadow = kind is not None and 0 < t < sd
+            if not shadow:
+                color = color + lc * (
+                    diffuse_color * diff + self.mat["specular"][mid] * spec
+                )
+        return color
+
+    def trace(self, o, d):
+        t, kind, idx = self.intersect_scene(o, d)
+        if kind is None:
+            return self.background.copy()
+        point, n, mid, dc = self._resolve(o, d, t, kind, idx)
+        m = self.mat["mirror"][mid]
+        color = (1 - m) * self.lighting(point, n, -d, mid, dc)
+        weight = m
+        depth = 0
+        cur_d = d
+        while depth < self.max_depth and weight > 0:
+            refl = cur_d - 2 * (cur_d @ n) * n
+            o2 = point + EPS_OFFSET * refl
+            t, kind, idx = self.intersect_scene(o2, refl)
+            if kind is None:
+                color = color + weight * self.background
+                break
+            point, n, mid, dc = self._resolve(o2, refl, t, kind, idx)
+            m = self.mat["mirror"][mid]
+            color = color + weight * (1 - m) * self.lighting(point, n, -refl, mid, dc)
+            weight *= m
+            cur_d = refl
+            depth += 1
+        return color
+
+    def render(self):
+        import math
+
+        cam = self.cam
+        W, H = cam.width, cam.height
+        eye = np.asarray(cam.eye, np.float64)
+        view = _normalize(np.asarray(cam.center, np.float64) - eye)
+        right = _normalize(np.cross(view, np.asarray(cam.up, np.float64)))
+        up = np.cross(right, view)
+        tan_half = math.tan(math.radians(cam.fovy) / 2)
+        aspect = W / H
+        img = np.zeros((H, W, 3))
+        for y in range(H):
+            for x in range(W):
+                u = ((x + 0.5) / W) * 2 - 1
+                v = 1 - ((y + 0.5) / H) * 2
+                d = _normalize(view + u * tan_half * aspect * right + v * tan_half * up)
+                img[y, x] = np.minimum(self.trace(eye, d), 1.0)
+        return img
