@@ -19,6 +19,7 @@ guarded with ``where`` so no NaNs enter the autodiff graph.
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 from myraytracer_tpu.utils import vecmath as vm
 
@@ -32,8 +33,9 @@ EPS_PARALLEL = 1e-9
 #: degenerate-triangle determinant guard (mymesh.cpp:197)
 EPS_DET = 1e-10
 
-#: "no hit" distance
-INF = jnp.float32(3.0e38)
+#: "no hit" distance (numpy scalar: module import must NOT touch the JAX
+#: backend, or it pins the default platform before callers can choose)
+INF = np.float32(3.0e38)
 
 
 def ray_sphere(o, d, center, radius):

@@ -1,0 +1,563 @@
+"""Procedural authoring of the 10 reference scenes.
+
+The reference ships only golden PNGs (outputs/o_01..o_10); the scene
+files and mesh/texture assets behind them are absent (SURVEY.md scope
+warning). Each builder here re-creates the *content and feature set* of
+one golden — primitive kinds, shading modes, lighting topology, mirror
+depth, texture usage, resolution — with procedurally generated stand-in
+geometry, so the framework exercises every capability the golden image
+demonstrates. Pixel-exact acceptance is against our own oracle renderer
+(tests/oracle.py + tests/test_golden.py); the reference PNGs serve as
+perceptual checks.
+
+Resolutions match the committed goldens exactly (SURVEY.md §4):
+  01 spheres 500x500   02 shadow 600x400    03 mirror 1000x400
+  04 molecule 500x500  05 cube 500x500      06 mask 500x500
+  07 toon_faces 600x300 08 office 500x500   09 rings 700x500
+  10 pokemon 600x300
+The office benchmark variant renders at 1920x1080 (BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from myraytracer_tpu.models.material import Material
+from myraytracer_tpu.models.mesh import TriangleMesh, FLAT, PHONG
+from myraytracer_tpu.models.scene import Scene
+from myraytracer_tpu.scenes import shapes
+
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+def _blob(radius, n_lat, n_lon, seed, bump=0.25, center=(0, 0, 0), squash=(1, 1, 1)):
+    """Organic blob: a uv-sphere with smooth sinusoidal radial displacement."""
+    v, f = shapes.uv_sphere(radius, n_lat, n_lon)
+    rng = np.random.default_rng(seed)
+    amps = rng.uniform(0.3, 1.0, 4) * bump * radius
+    freqs = rng.uniform(1.0, 3.0, (4, 3))
+    phases = rng.uniform(0, 2 * np.pi, 4)
+    r = np.linalg.norm(v, axis=1, keepdims=True)
+    disp = np.zeros(v.shape[0], np.float32)
+    for a, fr, ph in zip(amps, freqs, phases):
+        disp += a * np.sin(v @ fr.astype(np.float32) + ph)
+    v = v * (1 + disp[:, None] / np.maximum(r, 1e-6))
+    v = v * np.float32(squash) + np.float32(center)
+    return v.astype(np.float32), f
+
+
+def _tess_quad(p0, p1, p3, res_u, res_v):
+    """Grid-tessellated parallelogram patch p0 + u*(p1-p0) + v*(p3-p0)."""
+    p0 = np.float32(p0)
+    du = (np.float32(p1) - p0)
+    dv = (np.float32(p3) - p0)
+    us, vs = np.meshgrid(np.linspace(0, 1, res_u + 1), np.linspace(0, 1, res_v + 1), indexing="ij")
+    verts = p0 + us[..., None] * du + vs[..., None] * dv
+    verts = verts.reshape(-1, 3).astype(np.float32)
+    faces = []
+    for i in range(res_u):
+        for j in range(res_v):
+            a = i * (res_v + 1) + j
+            b = a + 1
+            c = a + (res_v + 1)
+            d = c + 1
+            faces.append([a, c, b])
+            faces.append([b, c, d])
+    return verts, np.asarray(faces, np.int32)
+
+
+def _sand_texture(w=256, h=128, seed=3):
+    rng = np.random.default_rng(seed)
+    base = np.float32([0.65, 0.52, 0.36])
+    noise = rng.normal(0, 0.06, (h, w, 1)).astype(np.float32)
+    grain = rng.normal(0, 0.03, (h, w, 3)).astype(np.float32)
+    return np.clip(base + noise + grain, 0, 1)
+
+
+def _starfield_texture(w=512, h=256, seed=5):
+    rng = np.random.default_rng(seed)
+    sky = np.zeros((h, w, 3), np.float32)
+    grad = np.linspace(0.25, 0.02, h, dtype=np.float32)[:, None]
+    sky[..., 2] = grad[:, :] * 1.2 + 0.05
+    sky[..., 1] = grad[:, :] * 0.6
+    sky[..., 0] = grad[:, :] * 0.35
+    n_stars = 1500
+    xs = rng.integers(0, w, n_stars)
+    ys = rng.integers(0, h, n_stars)
+    mag = rng.uniform(0.3, 1.0, n_stars).astype(np.float32)
+    sky[ys, xs] = np.clip(sky[ys, xs] + mag[:, None], 0, 1)
+    return sky
+
+
+# ---------------------------------------------------------------------------
+# the ten scenes
+# ---------------------------------------------------------------------------
+
+def scene_01_spheres(scale: float = 1.0) -> Scene:
+    """Three mirror spheres (G/R/B, increasing size) on a dark mirror floor."""
+    s = Scene()
+    s.set_camera(eye=(0.0, 2.0, 7.6), center=(0.4, 0.55, 0), up=(0, 1, 0),
+                 fovy=45, width=int(500 * scale), height=int(500 * scale))
+    s.add_light((-4, 8, 7), (0.55, 0.55, 0.55))
+    s.add_light((5, 6, 7), (0.35, 0.35, 0.35))
+    s.ambience = (0.25, 0.25, 0.25)
+    s.background = (0, 0, 0)
+    sphere = lambda col: Material(
+        ambient=tuple(0.35 * c for c in col), diffuse=tuple(0.65 * c for c in col),
+        specular=(0.6, 0.6, 0.6), shininess=90, mirror=0.35)
+    s.add_sphere((-2.0, -0.45, 2.1), 0.5, sphere((0, 0.9, 0)))
+    s.add_sphere((-0.9, 0.15, 0.5), 0.95, sphere((0.9, 0, 0)))
+    s.add_sphere((2.3, 1.6, -1.6), 2.55, sphere((0, 0, 0.95)))
+    s.add_plane((0, -0.85, 0), (0, 1, 0),
+                Material(ambient=(0.12, 0.12, 0.12), diffuse=(0.25, 0.25, 0.25),
+                         specular=(0.1, 0.1, 0.1), shininess=5, mirror=0.25))
+    s.max_depth = 3
+    return s
+
+
+def scene_02_shadow(scale: float = 1.0) -> Scene:
+    """Dim three-sphere arrangement; single strong light, hard shadows."""
+    s = Scene()
+    s.set_camera(eye=(0, 0, 7), center=(0, 0, 0), up=(0, 1, 0),
+                 fovy=40, width=int(600 * scale), height=int(400 * scale))
+    s.add_light((-6, 2, 6), (0.9, 0.9, 0.95))
+    s.ambience = (0.03, 0.03, 0.03)
+    s.background = (0, 0, 0)
+    s.add_sphere((-5.2, 0, -1), 4.2, Material(
+        ambient=(0, 0, 0.3), diffuse=(0.1, 0.1, 0.8), specular=(0.7, 0.7, 0.7), shininess=120))
+    s.add_sphere((-0.3, -0.1, 1.2), 0.25, Material(
+        ambient=(0.3, 0, 0), diffuse=(0.8, 0.05, 0.05), specular=(0.3, 0.3, 0.3), shininess=40))
+    s.add_sphere((2.3, -0.3, -0.5), 1.6, Material(
+        ambient=(0, 0.25, 0), diffuse=(0.05, 0.7, 0.05), specular=(0.4, 0.4, 0.4), shininess=60))
+    s.max_depth = 2
+    return s
+
+
+def scene_03_mirror(scale: float = 1.0) -> Scene:
+    """Infinite mirror corridor: one red sphere between two facing mirror
+    walls over a flat-shaded fan floor — deep mirror-chain stress test."""
+    s = Scene()
+    s.set_camera(eye=(-2.2, 0.55, 1.5), center=(2.4, 0.0, 0.1), up=(0, 1, 0),
+                 fovy=55, width=int(1000 * scale), height=int(400 * scale))
+    s.add_light((0, 6, 2), (0.75, 0.75, 0.75))
+    s.ambience = (0.12, 0.12, 0.12)
+    s.background = (0, 0, 0)
+    s.add_sphere((0.3, -0.1, -0.2), 0.45, Material(
+        ambient=(0.3, 0, 0), diffuse=(0.75, 0.04, 0.04),
+        specular=(0.5, 0.5, 0.5), shininess=60))
+    # two facing mirror walls perpendicular to x: the camera looks down the
+    # corridor, so reflections repeat the sphere in a receding row
+    wall = Material(ambient=(0, 0, 0), diffuse=(0.02, 0.02, 0.02),
+                    specular=(0, 0, 0), shininess=1, mirror=0.85, shadowable=False)
+    s.add_plane((2.4, 0, 0), (-1, 0, 0), wall)
+    s.add_plane((-2.4, 0, 0), (1, 0, 0), wall)
+    # flat-shaded fan disc floor (faceted look of the golden)
+    n_seg, rad = 40, 60.0
+    ang = np.linspace(0, 2 * np.pi, n_seg, endpoint=False)
+    rim = np.stack([np.cos(ang) * rad, np.full(n_seg, -0.55), np.sin(ang) * rad], 1)
+    verts = np.concatenate([[[0, -0.55, 0]], rim]).astype(np.float32)
+    faces = np.asarray([[0, 1 + (i + 1) % n_seg, 1 + i] for i in range(n_seg)], np.int32)
+    s.add_mesh(TriangleMesh(verts, faces, material=Material(
+        ambient=(0.25, 0.25, 0.25), diffuse=(0.55, 0.55, 0.55), shininess=3),
+        draw_mode=FLAT))
+    s.max_depth = 20
+    return s
+
+
+def scene_04_molecule(scale: float = 1.0, n_atoms: int = 420) -> Scene:
+    """Space-filling 'protein': hundreds of CPK-colored spheres in a corner
+    room with a glossy dark floor."""
+    s = Scene()
+    s.set_camera(eye=(5.2, 1.1, 7.5), center=(0.6, 0.4, 0), up=(0, 1, 0),
+                 fovy=44, width=int(500 * scale), height=int(500 * scale))
+    s.add_light((6, 7, 7), (0.65, 0.65, 0.65))
+    s.add_light((-2, 5, 8), (0.25, 0.25, 0.25))
+    s.ambience = (0.3, 0.3, 0.3)
+    s.background = (0, 0, 0)
+
+    rng = np.random.default_rng(7)
+    # random-walk backbone with side atoms, like a space-filling protein
+    pos = [np.zeros(3)]
+    for _ in range(n_atoms - 1):
+        step = rng.normal(size=3)
+        step[1] *= 0.55
+        cand = pos[-1] + step * 0.42
+        cand *= 0.995  # keep the blob compact
+        pos.append(cand)
+    pos = np.asarray(pos)
+    pos -= pos.mean(0)
+    pos *= np.float32([1.5, 0.9, 1.0])
+    pos[:, 1] += 0.6
+
+    cpk = [((0.85, 0.85, 0.85), 0.30, 0.55),   # C-ish gray
+           ((0.95, 0.1, 0.1), 0.28, 0.18),     # O red
+           ((0.2, 0.3, 0.9), 0.28, 0.12),      # N blue
+           ((0.98, 0.98, 0.98), 0.22, 0.15)]   # H white
+    probs = np.cumsum([c[2] for c in cpk])
+    u = rng.uniform(0, 1, n_atoms)
+    for i in range(n_atoms):
+        k = int(np.searchsorted(probs, u[i] * probs[-1]))
+        k = min(k, len(cpk) - 1)
+        col, rad, _ = cpk[k]
+        s.add_sphere(pos[i], rad * rng.uniform(0.85, 1.15), Material(
+            ambient=tuple(0.3 * c for c in col), diffuse=tuple(0.7 * c for c in col),
+            specular=(0.35, 0.35, 0.35), shininess=50))
+    # corner walls + glossy floor
+    wall = Material(ambient=(0.22, 0.22, 0.22), diffuse=(0.35, 0.35, 0.35), shadowable=False)
+    s.add_plane((-4.5, 0, 0), (1, 0, 0), wall)
+    s.add_plane((0, 0, -4.5), (0, 0, 1), wall)
+    s.add_plane((0, -2.2, 0), (0, 1, 0), Material(
+        ambient=(0.05, 0.05, 0.05), diffuse=(0.08, 0.08, 0.08),
+        specular=(0.1, 0.1, 0.1), shininess=5, mirror=0.3))
+    s.max_depth = 2
+    return s
+
+
+def scene_05_cube(scale: float = 1.0) -> Scene:
+    """Single flat-shaded cube, blue sides / red top, white background."""
+    s = Scene()
+    s.set_camera(eye=(2.4, 2.2, 3.6), center=(0, 0, 0), up=(0, 1, 0),
+                 fovy=38, width=int(500 * scale), height=int(500 * scale))
+    s.add_light((4, 6, 5), (0.8, 0.8, 0.8))
+    s.ambience = (0.35, 0.35, 0.35)
+    s.background = (1, 1, 1)
+    v, f = shapes.box((1.6, 1.6, 1.6))
+    # split: top two faces red, rest blue (two meshes, one per material)
+    top = np.asarray([6, 7], np.int32)      # +y faces in shapes.box order
+    rest = np.asarray([i for i in range(12) if i not in (6, 7)], np.int32)
+    s.add_mesh(TriangleMesh(v, f[rest], material=Material(
+        ambient=(0.1, 0.1, 0.35), diffuse=(0.25, 0.25, 0.75), shininess=5),
+        draw_mode=FLAT))
+    s.add_mesh(TriangleMesh(v, f[top], material=Material(
+        ambient=(0.4, 0.12, 0.1), diffuse=(0.65, 0.2, 0.16), shininess=5),
+        draw_mode=FLAT))
+    s.max_depth = 1
+    return s
+
+
+def scene_06_mask(scale: float = 1.0) -> Scene:
+    """Smooth skin-toned Phong 'mask' mesh floating on black."""
+    s = Scene()
+    s.set_camera(eye=(0.4, 0.4, 4.4), center=(0, 0, 0), up=(0, 1, 0),
+                 fovy=42, width=int(500 * scale), height=int(500 * scale))
+    s.add_light((3, 4, 5), (0.8, 0.75, 0.7))
+    s.add_light((-4, 1, 2), (0.15, 0.13, 0.12))
+    s.ambience = (0.12, 0.1, 0.09)
+    s.background = (0, 0, 0)
+    v, f = _blob(1.0, 48, 48, seed=11, bump=0.10, squash=(0.72, 1.05, 0.55))
+    # face the camera, tilt like the golden
+    v = shapes.transformed(v, rotate_y=0.5)
+    s.add_mesh(TriangleMesh(v, f, material=Material(
+        ambient=(0.35, 0.2, 0.15), diffuse=(0.75, 0.45, 0.32),
+        specular=(0.25, 0.2, 0.18), shininess=25), draw_mode=PHONG))
+    s.max_depth = 1
+    return s
+
+
+def scene_07_toon_faces(scale: float = 1.0) -> Scene:
+    """Six colored toon blobs on a green mirror floor under a blue sky."""
+    s = Scene()
+    s.set_camera(eye=(0, 1.1, 7.2), center=(0, 0.2, 0), up=(0, 1, 0),
+                 fovy=38, width=int(600 * scale), height=int(300 * scale))
+    s.add_light((0, 8, 8), (0.75, 0.75, 0.75))
+    s.ambience = (0.3, 0.3, 0.3)
+    s.background = (0.55, 0.65, 0.95)
+    cols = [(0.15, 0.6, 0.7), (0.8, 0.75, 0.45), (0.85, 0.45, 0.1),
+            (0.8, 0.12, 0.12), (0.6, 0.2, 0.65), (0.25, 0.2, 0.75)]
+    xs = np.linspace(-3.4, 3.4, 6)
+    for i, (x, c) in enumerate(zip(xs, cols)):
+        v, f = _blob(0.55, 24, 28, seed=20 + i, bump=0.22, squash=(1.0, 1.08, 0.9),
+                     center=(0, 0, 0))
+        v = shapes.transformed(v, rotate_y=float(i) * 0.6, translate=(x, 0.05, 0))
+        s.add_mesh(TriangleMesh(v, f, material=Material(
+            ambient=tuple(0.35 * k for k in c), diffuse=tuple(0.7 * k for k in c),
+            specular=(0.5, 0.5, 0.5), shininess=60), draw_mode=PHONG))
+    s.add_plane((0, -0.5, 0), (0, 1, 0), Material(
+        ambient=(0.0, 0.3, 0.0), diffuse=(0.05, 0.55, 0.05),
+        specular=(0.2, 0.2, 0.2), shininess=10, mirror=0.35))
+    s.max_depth = 3
+    return s
+
+
+def scene_08_office(scale: float = 1.0, tess: int = 6) -> Scene:
+    """The headline scene: an office room — walls, window wall with frames,
+    curved desk, office chairs, cabinet wall — all triangle meshes.
+
+    ``tess`` controls surface tessellation (triangle count) so the same
+    scene scales from test-size to the BVH-stressing benchmark.
+    """
+    s = Scene()
+    s.set_camera(eye=(0.0, 1.45, 4.7), center=(0.1, 1.0, 0), up=(0, 1, 0),
+                 fovy=58, width=int(500 * scale), height=int(500 * scale))
+    s.add_light((0, 2.55, 2.2), (0.75, 0.75, 0.72))
+    s.add_light((-1.6, 2.3, 3.6), (0.45, 0.45, 0.45))
+    s.ambience = (0.5, 0.5, 0.5)
+    s.background = (0, 0, 0)
+
+    T = tess
+
+    def add_box(size, center, mat, mode=FLAT, t=1):
+        v, f = shapes.box(size, center)
+        if t > 1:
+            v, f = _tess_box(size, center, t)
+        s.add_mesh(TriangleMesh(v, f, material=mat, draw_mode=mode))
+
+    white = Material(ambient=(0.5, 0.5, 0.5), diffuse=(0.5, 0.5, 0.5), shadowable=False)
+    dark_gray = Material(ambient=(0.16, 0.16, 0.16), diffuse=(0.25, 0.25, 0.25))
+    maroon = Material(ambient=(0.16, 0.03, 0.03), diffuse=(0.3, 0.06, 0.06))
+    yellow = Material(ambient=(0.42, 0.42, 0.2), diffuse=(0.52, 0.5, 0.25),
+                      specular=(0.1, 0.1, 0.1), shininess=8)
+    green = Material(ambient=(0.05, 0.25, 0.05), diffuse=(0.1, 0.45, 0.1))
+    blue = Material(ambient=(0.1, 0.1, 0.4), diffuse=(0.2, 0.2, 0.75),
+                    specular=(0.15, 0.15, 0.15), shininess=10)
+    glass_white = Material(ambient=(0.55, 0.55, 0.58), diffuse=(0.4, 0.4, 0.42),
+                           shadowable=False)
+
+    W, H, D = 6.4, 2.9, 9.0   # room extents
+    # floor / ceiling / side walls (tessellated quads -> real triangles)
+    for p0, p1, p3, m in [
+        ((-W/2, 0, D/2), (W/2, 0, D/2), (-W/2, 0, -D/2), maroon),          # floor
+        ((-W/2, H, D/2), (W/2, H, D/2), (-W/2, H, -D/2), dark_gray),        # ceiling
+        ((-W/2, 0, D/2), (-W/2, 0, -D/2), (-W/2, H, D/2), white),           # left wall
+        ((W/2, 0, D/2), (W/2, 0, -D/2), (W/2, H, D/2), white),              # right wall
+    ]:
+        v, f = _tess_quad(p0, p1, p3, 2 * T, 2 * T)
+        s.add_mesh(TriangleMesh(v, f, material=m, draw_mode=FLAT))
+
+    # window wall at z = -2.2 : dark frame grid + bright back room
+    zw = -2.2
+    add_box((W, 0.55, 0.12), (0, 0.27, zw), dark_gray, t=T // 2 + 1)
+    add_box((W, 0.5, 0.12), (0, H - 0.25, zw), dark_gray, t=T // 2 + 1)
+    for x in (-W/2 + 0.18, -0.05, W/2 - 0.18):
+        add_box((0.22, H, 0.12), (x, H/2, zw), dark_gray)
+    add_box((W, 0.16, 0.12), (0, 2.05, zw), dark_gray)
+    # glass panes -> bright back-room quads slightly behind
+    v, f = _tess_quad((-W/2, 0.5, zw - 0.4), (W/2, 0.5, zw - 0.4), (-W/2, H, zw - 0.4), T, T)
+    s.add_mesh(TriangleMesh(v, f, material=glass_white, draw_mode=FLAT))
+    # back room suggestion: cabinets + a desk silhouette
+    add_box((2.2, 1.8, 0.4), (1.6, 0.9, zw - 2.2), yellow, t=T // 2 + 1)
+    add_box((1.6, 0.7, 0.8), (-1.2, 0.5, zw - 2.0), dark_gray)
+
+    # cabinet wall on the right (doors + dark handles)
+    for iy in range(2):
+        for ix in range(4):
+            cz = 0.35 + ix * 1.12
+            add_box((0.55, 1.28, 1.05), (W/2 - 0.45, 0.72 + iy * 1.34, cz),
+                    yellow, t=T // 2 + 1)
+            add_box((0.05, 0.16, 0.05), (W/2 - 0.76, 0.72 + iy * 1.34, cz - 0.48),
+                    dark_gray)
+
+    # green sideboard under the window
+    add_box((W - 1.0, 0.85, 0.6), (0, 0.43, zw + 0.45), green, t=T // 2 + 1)
+
+    # curved desk: kidney profile extruded (tessellated top + skirt)
+    desk_top, desk_skirt = _desk(tess=max(24, 8 * T))
+    s.add_mesh(TriangleMesh(desk_top[0], desk_top[1], material=yellow, draw_mode=FLAT))
+    s.add_mesh(TriangleMesh(desk_skirt[0], desk_skirt[1], material=dark_gray, draw_mode=FLAT))
+    # desk legs
+    for lx, lz in [(-0.8, 1.1), (0.9, 0.9), (0.1, 2.0)]:
+        v, f = shapes.cylinder(0.06, 0.72, 10, center=(lx, 0.36, lz))
+        s.add_mesh(TriangleMesh(v, f, material=dark_gray, draw_mode=PHONG))
+
+    # office chairs (blue seats/backs on dark posts)
+    for cx, cz, rot in [(-1.7, 1.5, 0.5), (-1.2, 3.1, 0.2), (1.5, 0.6, -0.6)]:
+        _chair(s, (cx, 0, cz), rot, blue, dark_gray, T)
+
+    s.max_depth = 2
+    return s
+
+
+def _tess_box(size, center, t):
+    """Box with each face grid-tessellated t x t."""
+    sx, sy, sz = (v / 2 for v in size)
+    cx, cy, cz = center
+    patches = []
+    c = np.float32([cx, cy, cz])
+    # (origin, u-edge, v-edge) per face, outward CCW
+    for p0, p1, p3 in [
+        ((-sx, -sy, sz), (sx, -sy, sz), (-sx, sy, sz)),       # +z
+        ((sx, -sy, -sz), (-sx, -sy, -sz), (sx, sy, -sz)),     # -z
+        ((sx, -sy, sz), (sx, -sy, -sz), (sx, sy, sz)),        # +x
+        ((-sx, -sy, -sz), (-sx, -sy, sz), (-sx, sy, -sz)),    # -x
+        ((-sx, sy, sz), (sx, sy, sz), (-sx, sy, -sz)),        # +y
+        ((-sx, -sy, -sz), (sx, -sy, -sz), (-sx, -sy, sz)),    # -y
+    ]:
+        v, f = _tess_quad(np.float32(p0) + c, np.float32(p1) + c, np.float32(p3) + c, t, t)
+        patches.append((v, f))
+    return shapes.merge(*patches)
+
+
+def _desk(tess=48):
+    """Kidney-shaped desk top + vertical skirt, y = 0.72..0.78."""
+    ang = np.linspace(0, 2 * np.pi, tess, endpoint=False)
+    # kidney: ellipse with a cosine pinch
+    r = 1.35 * (1.0 + 0.35 * np.cos(ang) - 0.25 * np.cos(2 * ang))
+    prof = np.stack([r * np.cos(ang) * 1.0, r * np.sin(ang) * 0.62], 1)
+    prof += np.float32([0.0, 1.45])  # push into the room
+    y0, y1 = 0.72, 0.78
+    n = tess
+    top = np.concatenate([
+        np.stack([prof[:, 0], np.full(n, y1), prof[:, 1]], 1),
+        [[0.0, y1, 1.45]],
+    ]).astype(np.float32)
+    top_faces = np.asarray([[n, (i + 1) % n, i] for i in range(n)], np.int32)
+    skirt_v = np.concatenate([
+        np.stack([prof[:, 0], np.full(n, y0), prof[:, 1]], 1),
+        np.stack([prof[:, 0], np.full(n, y1), prof[:, 1]], 1),
+    ]).astype(np.float32)
+    skirt_f = []
+    for i in range(n):
+        j = (i + 1) % n
+        skirt_f += [[i, n + i, j], [j, n + i, n + j]]
+    return (top, top_faces), (skirt_v, np.asarray(skirt_f, np.int32))
+
+
+def _chair(s: Scene, pos, rot, seat_mat, post_mat, t):
+    """Simple office chair: seat, back, post, base star."""
+    px, py, pz = pos
+
+    def put(v, f, m, mode=FLAT):
+        v = shapes.transformed(v, rotate_y=rot, translate=(px, py, pz))
+        s.add_mesh(TriangleMesh(v, f, material=m, draw_mode=mode))
+
+    v, f = _tess_box((0.52, 0.09, 0.5), (0, 0.52, 0), max(2, t // 2))
+    put(v, f, seat_mat)
+    v, f = _tess_box((0.5, 0.62, 0.08), (0, 0.95, -0.25), max(2, t // 2))
+    put(v, f, seat_mat)
+    v, f = shapes.cylinder(0.035, 0.5, 8, center=(0, 0.26, 0))
+    put(v, f, post_mat, PHONG)
+    for k in range(5):
+        a = 2 * np.pi * k / 5
+        v, f = shapes.box((0.3, 0.04, 0.06), (0.15, 0.03, 0))
+        v = shapes.transformed(v, rotate_y=a)
+        put(v, f, post_mat)
+
+
+def scene_09_rings(scale: float = 1.0, seg: int = 64) -> Scene:
+    """Two interlocked Phong tori (olive + copper) with mirror highlights."""
+    s = Scene()
+    s.set_camera(eye=(0.2, 1.6, 6.0), center=(0, -0.2, 0), up=(0, 1, 0),
+                 fovy=42, width=int(700 * scale), height=int(500 * scale))
+    s.add_light((-3, 6, 5), (0.7, 0.68, 0.6))
+    s.add_light((4, 2, 4), (0.2, 0.15, 0.1))
+    s.ambience = (0.15, 0.13, 0.1)
+    s.background = (0, 0, 0)
+
+    v1, f1 = shapes.torus(1.25, 0.42, seg, seg // 2)
+    v1 = shapes.transformed(v1, rotate_y=0.2, translate=(-1.0, 0.1, 0.3))
+    s.add_mesh(TriangleMesh(v1, f1, material=Material(
+        ambient=(0.25, 0.24, 0.08), diffuse=(0.5, 0.48, 0.15),
+        specular=(0.5, 0.5, 0.4), shininess=45, mirror=0.25), draw_mode=PHONG))
+
+    v2, f2 = shapes.torus(1.25, 0.42, seg, seg // 2)
+    # stand the second torus up and interlock
+    rot_x = np.float32([[1, 0, 0], [0, 0, -1], [0, 1, 0]])
+    v2 = (v2 @ rot_x.T)
+    v2 = shapes.transformed(v2, rotate_y=0.35, translate=(0.9, -0.4, 0.2))
+    s.add_mesh(TriangleMesh(v2, f2, material=Material(
+        ambient=(0.3, 0.14, 0.05), diffuse=(0.6, 0.3, 0.1),
+        specular=(0.5, 0.4, 0.3), shininess=45, mirror=0.25), draw_mode=PHONG))
+    s.max_depth = 3
+    return s
+
+
+def scene_10_pokemon(scale: float = 1.0) -> Scene:
+    """Three creature blobs on a sandy textured ground under a starfield
+    sky — the textured-mesh scene (nearest-neighbor UV lookup), 4spp AA."""
+    s = Scene()
+    s.set_camera(eye=(0, 1.0, 6.5), center=(0, 0.6, 0), up=(0, 1, 0),
+                 fovy=44, width=int(600 * scale), height=int(300 * scale))
+    s.add_light((3, 7, 7), (0.75, 0.73, 0.68))
+    s.ambience = (0.3, 0.3, 0.33)
+    s.background = (0.01, 0.02, 0.06)
+
+    # sandy ground: big textured quad
+    g, gf, guvi, gu, gv = shapes.plane_uv_quad(
+        (-14, 0, 10), (14, 0, 10), (14, 0, -6), (-14, 0, -6))
+    s.add_mesh(TriangleMesh(g, gf, uv_indices=guvi, u_coords=np.tile(gu, 1),
+                            v_coords=gv, texture=_sand_texture(),
+                            material=Material(ambient=(0.5, 0.45, 0.38),
+                                              diffuse=(0.6, 0.52, 0.4)),
+                            draw_mode=FLAT))
+    # starfield backdrop quad
+    b, bf, buvi, bu, bv = shapes.plane_uv_quad(
+        (-16, 0, -6), (16, 0, -6), (16, 12, -6), (-16, 12, -6))
+    s.add_mesh(TriangleMesh(b, bf, uv_indices=buvi, u_coords=bu, v_coords=bv,
+                            texture=_starfield_texture(),
+                            material=Material(ambient=(1.0, 1.0, 1.0),
+                                              diffuse=(0.0, 0.0, 0.0),
+                                              shadowable=False),
+                            draw_mode=FLAT))
+
+    # three creatures: gray quadruped-ish, small yellow, dark one
+    for seed, cx, h, col, spec in [
+        (31, -2.2, 1.15, (0.75, 0.75, 0.78), 0.3),
+        (32, 0.1, 0.6, (0.9, 0.85, 0.2), 0.2),
+        (33, 2.1, 0.95, (0.16, 0.16, 0.18), 0.45),
+    ]:
+        v, f = _blob(h * 0.55, 28, 32, seed=seed, bump=0.3, squash=(0.9, 1.25, 0.8))
+        v = shapes.transformed(v, translate=(cx, h * 0.62, 0))
+        s.add_mesh(TriangleMesh(v, f, material=Material(
+            ambient=tuple(0.4 * k for k in col), diffuse=tuple(0.65 * k for k in col),
+            specular=(spec,) * 3, shininess=35), draw_mode=PHONG))
+    s.max_depth = 2
+    return s
+
+
+#: registry: name -> (builder, uses adaptive AA per the reference outputs)
+GOLDEN_SCENES = {
+    "o_01_spheres": (scene_01_spheres, True),
+    "o_02_shadow": (scene_02_shadow, True),
+    "o_03_mirror": (scene_03_mirror, True),
+    "o_04_molecule": (scene_04_molecule, True),
+    "o_05_cube": (scene_05_cube, True),
+    "o_06_mask": (scene_06_mask, True),
+    "o_07_toon_faces": (scene_07_toon_faces, True),
+    "o_08_office": (scene_08_office, True),
+    "o_09_rings": (scene_09_rings, True),
+    "o_10_pokemon": (scene_10_pokemon, True),
+}
+
+
+def main(argv=None):
+    import argparse
+    import os
+    import time
+
+    ap = argparse.ArgumentParser(description="Render the 10 golden scenes")
+    ap.add_argument("--out", default="outputs")
+    ap.add_argument("--scale", type=float, default=1.0)
+    ap.add_argument("--scene", default=None, help="render only this scene")
+    ap.add_argument("--no-aa", action="store_true")
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args(argv)
+
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+
+    import numpy as np
+    from myraytracer_tpu.ops.render import render, render_aa
+    from myraytracer_tpu.utils.image import write_png
+
+    os.makedirs(args.out, exist_ok=True)
+    for name, (builder, aa) in GOLDEN_SCENES.items():
+        if args.scene and args.scene not in name:
+            continue
+        t0 = time.time()
+        sc = builder(scale=args.scale)
+        data = sc.build()
+        t1 = time.time()
+        fn = render if (args.no_aa or not aa) else render_aa
+        img = np.asarray(fn(data, sc.camera))
+        t2 = time.time()
+        path = os.path.join(args.out, f"{name}.png")
+        write_png(path, img)
+        print(f"{name}: {data.n_tris} tris, {data.n_spheres} spheres | "
+              f"build {t1-t0:.2f}s render {t2-t1:.2f}s -> {path}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

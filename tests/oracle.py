@@ -114,12 +114,44 @@ class OracleRenderer:
             t = _hit_plane(o, d, self.plane_center[i], self.plane_normal[i])
             if t < best[0]:
                 best = (t, "plane", i)
-        for i in range(self.tv.shape[0]):
-            a, b, c = self.vp[self.tv[i, 0]], self.vp[self.tv[i, 1]], self.vp[self.tv[i, 2]]
-            t, al, be = _hit_triangle(o, d, a, b, c)
+        if self.tv.shape[0]:
+            t, i = self._hit_tris_batched(o, d)
             if t < best[0]:
                 best = (t, "tri", i)
         return best
+
+    def _hit_tris_batched(self, o, d):
+        """All-triangle closest hit for one ray, vectorized over triangles.
+
+        Cramer's rule via explicit determinants (NumPy, float64) — still an
+        implementation independent of the JAX path.
+        """
+        p0 = self.vp[self.tv[:, 0]]
+        p1 = self.vp[self.tv[:, 1]]
+        p2 = self.vp[self.tv[:, 2]]
+        c1 = p0 - p2
+        c2 = p1 - p2
+        c3 = -d[None, :].repeat(p0.shape[0], 0)
+        c4 = o[None, :] - p2
+
+        def det(a, b, c):
+            return (
+                a[:, 0] * (b[:, 1] * c[:, 2] - b[:, 2] * c[:, 1])
+                - b[:, 0] * (a[:, 1] * c[:, 2] - a[:, 2] * c[:, 1])
+                + c[:, 0] * (a[:, 1] * b[:, 2] - a[:, 2] * b[:, 1])
+            )
+
+        s = det(c1, c2, c3)
+        ok = np.abs(s) > 1e-10
+        s_safe = np.where(ok, s, 1.0)
+        t = det(c1, c2, c4) / s_safe
+        al = det(c4, c2, c3) / s_safe
+        be = det(c1, c4, c3) / s_safe
+        ga = 1.0 - al - be
+        ok &= (t > EPS_HIT) & (al >= 0) & (al <= 1) & (be >= 0) & (be <= 1) & (ga >= 0) & (ga <= 1)
+        t = np.where(ok, t, np.inf)
+        i = int(np.argmin(t))
+        return float(t[i]), i
 
     def _resolve(self, o, d, t, kind, idx):
         point = o + t * d
