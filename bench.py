@@ -1,0 +1,99 @@
+"""Headline benchmark: Office 1920x1080 @1spp, forward + backward.
+
+Prints ONE JSON line:
+  {"metric": "office_1080p_fwd_bwd_rays_per_s", "value": N,
+   "unit": "rays/s/chip", "vs_baseline": N, ...extras}
+
+vs_baseline is measured against the reference renderer's published Office
+number — 5.3 s for 1920x1080 @1spp (README.md:10, BASELINE.md) i.e.
+~0.391 Mray/s — which is *forward only*; we hold ourselves to
+forward+backward against it.
+
+Env knobs:
+  BENCH_TESS   office tessellation level (default 10)
+  BENCH_SMALL  set to 1 for a fast smoke run (480x270)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    small = os.environ.get("BENCH_SMALL") == "1"
+    tess = int(os.environ.get("BENCH_TESS", "10"))
+    width, height = (480, 270) if small else (1920, 1080)
+
+    import jax
+    import jax.numpy as jnp
+
+    from myraytracer_tpu.ops.render import render, render_loss_grad
+    from myraytracer_tpu.scenes.golden import scene_08_office
+
+    dev = jax.devices()[0]
+    sc = scene_08_office(tess=tess, resolution=(width, height))
+    t0 = time.perf_counter()
+    scene = sc.build()
+    build_s = time.perf_counter() - t0
+
+    n_rays = width * height
+    xs, ys = sc.camera.pixel_grid()
+    o, d = sc.camera.primary_rays(xs.ravel(), ys.ravel())
+    target = jnp.zeros((n_rays, 3), jnp.float32)
+
+    # ---- forward ----
+    t0 = time.perf_counter()
+    img = render(scene, sc.camera)
+    img.block_until_ready()
+    fwd_compile_s = time.perf_counter() - t0
+
+    fwd_times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        img = render(scene, sc.camera)
+        img.block_until_ready()
+        fwd_times.append(time.perf_counter() - t0)
+    fwd_s = min(fwd_times)
+
+    # ---- forward + backward ----
+    t0 = time.perf_counter()
+    loss, grads = render_loss_grad(scene, o, d, target)
+    jax.block_until_ready((loss, grads))
+    bwd_compile_s = time.perf_counter() - t0
+
+    fb_times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        loss, grads = render_loss_grad(scene, o, d, target)
+        jax.block_until_ready((loss, grads))
+        fb_times.append(time.perf_counter() - t0)
+    fwd_bwd_s = min(fb_times)
+
+    baseline_rays_per_s = n_rays / 5.3 if not small else (1920 * 1080) / 5.3
+    value = n_rays / fwd_bwd_s
+    result = {
+        "metric": "office_1080p_fwd_bwd_rays_per_s",
+        "value": round(value, 1),
+        "unit": "rays/s/chip",
+        "vs_baseline": round(value / baseline_rays_per_s, 3),
+        "fwd_rays_per_s": round(n_rays / fwd_s, 1),
+        "fwd_s": round(fwd_s, 4),
+        "fwd_bwd_s": round(fwd_bwd_s, 4),
+        "resolution": f"{width}x{height}",
+        "n_tris": int(scene.n_tris),
+        "bvh_nodes": int(scene.n_nodes),
+        "scene_build_s": round(build_s, 3),
+        "compile_s": round(fwd_compile_s + bwd_compile_s, 1),
+        "device": str(dev),
+        "loss_finite": bool(np.isfinite(float(loss))),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

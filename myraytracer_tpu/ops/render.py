@@ -78,6 +78,55 @@ def render(
     return img
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "tile"))
+def render_loss_grad(
+    scene,
+    o: jnp.ndarray,
+    d: jnp.ndarray,
+    target: jnp.ndarray,
+    cfg: tr.TraceConfig = tr.TraceConfig(),
+    tile: int = TILE,
+):
+    """Sum-squared-error loss of the unclamped render + scene-param grads.
+
+    The fwd+bwd benchmark path (BASELINE.md "Rays/sec/chip fwd+bwd"): the
+    image is processed as a ``lax.scan`` over fixed-size ray tiles with
+    ``jax.checkpoint`` on the tile body, so backward rematerializes one
+    tile at a time — memory stays O(tile) instead of O(image)
+    (the HBM-vs-FLOPs trade XLA can't discover alone).
+
+    Returns (loss, grads) where grads is the float-leaf dict of
+    parallel.shard_render.split_params.
+    """
+    from myraytracer_tpu.parallel.shard_render import merge_params, split_params
+
+    R = o.shape[0]
+    n_tiles = max(1, (R + tile - 1) // tile)
+    pad = n_tiles * tile - R
+    w = jnp.concatenate([jnp.ones((R,), o.dtype), jnp.zeros((pad,), o.dtype)])
+    o_t = jnp.pad(o, ((0, pad), (0, 0))).reshape(n_tiles, tile, 3)
+    d_pad = jnp.pad(d, ((0, pad), (0, 0)))
+    if pad:
+        d_pad = d_pad.at[R:].set(d[-1])
+    d_t = d_pad.reshape(n_tiles, tile, 3)
+    t_t = jnp.pad(target, ((0, pad), (0, 0))).reshape(n_tiles, tile, 3)
+    w_t = w.reshape(n_tiles, tile)
+
+    params = split_params(scene)
+
+    def loss_fn(p):
+        def body(acc, xs):
+            ot, dt, tt, wt = xs
+            c = tr.trace(merge_params(scene, p), ot, dt, cfg)
+            return acc + jnp.sum(wt[:, None] * (c - tt) ** 2), None
+
+        total, _ = jax.lax.scan(jax.checkpoint(body), jnp.float32(0.0),
+                                (o_t, d_t, t_t, w_t))
+        return total
+
+    return jax.value_and_grad(loss_fn)(params)
+
+
 def _deviation(img: jnp.ndarray) -> jnp.ndarray:
     """Sum of squared color distance to the 4-neighborhood.
 

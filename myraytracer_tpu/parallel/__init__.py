@@ -1,0 +1,7 @@
+from myraytracer_tpu.parallel.mesh import make_mesh, ray_sharding
+from myraytracer_tpu.parallel.shard_render import (
+    render_sharded,
+    train_step_sharded,
+    split_params,
+    merge_params,
+)

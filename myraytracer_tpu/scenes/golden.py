@@ -281,16 +281,19 @@ def scene_07_toon_faces(scale: float = 1.0) -> Scene:
     return s
 
 
-def scene_08_office(scale: float = 1.0, tess: int = 6) -> Scene:
+def scene_08_office(scale: float = 1.0, tess: int = 6, resolution=None) -> Scene:
     """The headline scene: an office room — walls, window wall with frames,
     curved desk, office chairs, cabinet wall — all triangle meshes.
 
     ``tess`` controls surface tessellation (triangle count) so the same
     scene scales from test-size to the BVH-stressing benchmark.
+    ``resolution`` overrides (width, height) — the benchmark renders this
+    scene at 1920x1080 (BASELINE.md).
     """
+    w, h = resolution if resolution else (int(500 * scale), int(500 * scale))
     s = Scene()
     s.set_camera(eye=(0.0, 1.45, 4.7), center=(0.1, 1.0, 0), up=(0, 1, 0),
-                 fovy=58, width=int(500 * scale), height=int(500 * scale))
+                 fovy=58, width=w, height=h)
     s.add_light((0, 2.55, 2.2), (0.75, 0.75, 0.72))
     s.add_light((-1.6, 2.3, 3.6), (0.45, 0.45, 0.45))
     s.ambience = (0.5, 0.5, 0.5)
