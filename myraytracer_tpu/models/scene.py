@@ -84,6 +84,10 @@ class SceneData:
     bvh_count: jnp.ndarray       # [N] int32 (0 = internal)
     bvh_entry: jnp.ndarray       # [8, N] int32
     bvh_skip: jnp.ndarray        # [8, N] int32
+    # packed traversal mirrors: ONE row-gather per traversal step instead
+    # of six (TPU gathers are the traversal bottleneck).
+    bvh_nodes_packed: jnp.ndarray  # [N, 8] f32: bbmin, bbmax, bits(first), bits(count)
+    bvh_links_packed: jnp.ndarray  # [8N, 2] i32: (entry, skip) per octant-major node
 
     # --- static config ---
     max_depth: int = dataclasses.field(metadata=dict(static=True), default=3)
@@ -155,8 +159,12 @@ class Scene:
         return self._meshes
 
     # --- packing -----------------------------------------------------------
-    def build(self) -> SceneData:
-        """Pack the scene into device SoA arrays and build the BVH."""
+    def build(self, leaf_size: int = 4) -> SceneData:
+        """Pack the scene into device SoA arrays and build the BVH.
+
+        ``leaf_size`` bounds BVH leaf occupancy (reference splits to <= 2,
+        mybvh.cpp:270; 4 is a better TPU default — fewer lockstep steps).
+        """
         materials: List[Material] = []
 
         def mat_id(m: Material) -> int:
@@ -235,7 +243,7 @@ class Scene:
             p0 = vertex_pos[tri_vidx_a[:, 0]]
             p1 = vertex_pos[tri_vidx_a[:, 1]]
             p2 = vertex_pos[tri_vidx_a[:, 2]]
-            tree = bvh_mod.build_bvh(p0, p1, p2)
+            tree = bvh_mod.build_bvh(p0, p1, p2, leaf_size=leaf_size)
             perm = tree.order
             tri_vidx_a = tri_vidx_a[perm]
             tri_uvidx_a = tri_uvidx_a[perm]
@@ -251,6 +259,18 @@ class Scene:
                 np.zeros((1,), np.int32), np.zeros((1,), np.int32),
                 np.full((8, 1), -1, np.int32), np.full((8, 1), -1, np.int32),
             )
+
+        # packed traversal mirrors (see SceneData docstring)
+        bbmin_a, bbmax_a, first_a, count_a, entry_a, skip_a = bvh_arrays
+        nodes_packed = np.concatenate(
+            [bbmin_a.astype(np.float32), bbmax_a.astype(np.float32),
+             first_a.astype(np.int32).view(np.float32)[:, None],
+             count_a.astype(np.int32).view(np.float32)[:, None]],
+            axis=1,
+        )
+        links_packed = np.stack(
+            [entry_a.reshape(-1), skip_a.reshape(-1)], axis=1
+        ).astype(np.int32)
 
         # material table
         if not materials:
@@ -279,5 +299,6 @@ class Scene:
             bvh_bbmin=_f32(bvh_arrays[0]), bvh_bbmax=_f32(bvh_arrays[1]),
             bvh_first=_i32(bvh_arrays[2]), bvh_count=_i32(bvh_arrays[3]),
             bvh_entry=_i32(bvh_arrays[4]), bvh_skip=_i32(bvh_arrays[5]),
+            bvh_nodes_packed=_f32(nodes_packed), bvh_links_packed=_i32(links_packed),
             max_depth=int(self.max_depth), max_leaf=int(max_leaf),
         )

@@ -34,7 +34,10 @@ import dataclasses
 
 import numpy as np
 
-#: static leaf-size bound (reference leaf is <= 2: mybvh.cpp:270)
+#: default static leaf-size bound. The reference splits to leaves of <= 2
+#: (mybvh.cpp:270); on a TPU, larger leaves are usually faster — fewer
+#: lockstep traversal steps, and the extra triangle tests are dense VPU
+#: work. build_bvh takes leaf_size explicitly.
 MAX_LEAF = 2
 
 #: sentinel for "traversal finished" / "no child"
@@ -64,11 +67,15 @@ class BVHArrays:
         return self.bbmin.shape[0]
 
 
-def build_bvh(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray) -> BVHArrays:
+def build_bvh(
+    v0: np.ndarray, v1: np.ndarray, v2: np.ndarray, leaf_size: int = MAX_LEAF
+) -> BVHArrays:
     """Build a median-split BVH over triangles given by vertex positions.
 
     Args:
         v0, v1, v2: [T, 3] float arrays of triangle corner positions.
+        leaf_size: stop subdividing at this many triangles (static bound
+            for the vectorized leaf loop).
     Returns:
         BVHArrays with triangles permuted into leaf-contiguous order via
         ``order`` (new index i holds old triangle order[i]).
@@ -79,6 +86,21 @@ def build_bvh(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray) -> BVHArrays:
     T = v0.shape[0]
     if T == 0:
         raise ValueError("build_bvh: no triangles")
+
+    # native (C++) fast path — same algorithm, same arrays
+    # (tests/test_native.py enforces agreement); opt out with
+    # MRT_NO_NATIVE=1 or fall back when no compiler is available.
+    import os
+
+    if os.environ.get("MRT_NO_NATIVE") != "1":
+        try:
+            from myraytracer_tpu.runtime.native import (
+                build_bvh_native, native_available)
+
+            if native_available():
+                return build_bvh_native(v0, v1, v2, leaf_size)
+        except Exception:
+            pass
 
     centroid = (v0 + v1 + v2) / 3.0
     tri_min = np.minimum(np.minimum(v0, v1), v2)
@@ -109,7 +131,7 @@ def build_bvh(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray) -> BVHArrays:
     while stack:
         n, depth = stack.pop()
         cnt = count[n]
-        if cnt <= MAX_LEAF:
+        if cnt <= leaf_size:
             continue
         ax = depth % 3
         lo, hi = first[n], first[n] + cnt

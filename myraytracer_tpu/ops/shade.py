@@ -148,13 +148,21 @@ def resolve_hit(scene, o, d, kind, idx, texture_filter: str = "nearest") -> Hit:
 
 
 def ray_t_sphere(o, d, center, radius):
-    """Differentiable sphere-hit distance for a *known* hit (no miss mask)."""
+    """Differentiable sphere-hit distance for a *known* hit (no miss mask).
+
+    Double-where guards the sqrt: rays that did NOT select this sphere
+    still evaluate this branch (compute-all-select), and sqrt'(0) = inf
+    would turn their zero cotangents into NaNs that contaminate every
+    upstream parameter through the bounce-origin chain.
+    """
     oc = o - center
     b = 2.0 * vm.dot(oc, d)
     a = vm.dot(d, d)
     c = vm.dot(oc, oc) - radius * radius
-    disc = jnp.maximum(b * b - 4.0 * a * c, 0.0)
-    sq = jnp.sqrt(disc)
+    disc = b * b - 4.0 * a * c
+    pos = disc > 1e-12
+    sq = jnp.sqrt(jnp.where(pos, disc, 1.0))
+    sq = jnp.where(pos, sq, 0.0)
     inv2a = 0.5 / a
     t0 = (-b - sq) * inv2a
     t1 = (-b + sq) * inv2a

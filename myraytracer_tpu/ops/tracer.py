@@ -47,6 +47,7 @@ def intersect_scene(
     d: jnp.ndarray,
     active: Optional[jnp.ndarray] = None,
     cfg: TraceConfig = TraceConfig(),
+    tri_flat: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Closest hit over all primitive kinds.
 
@@ -89,7 +90,8 @@ def intersect_scene(
 
     if scene.n_tris:
         if cfg.use_bvh:
-            tri = traverse.traverse_bvh(scene, o_ng, d_ng, active=active)
+            tri = traverse.traverse_bvh(scene, o_ng, d_ng, active=active,
+                                        tri_flat=tri_flat)
         else:
             tri = traverse.intersect_tris_brute(scene, o_ng, d_ng)
         better = tri.t < best_t
@@ -107,6 +109,7 @@ def occluded(
     light_pos: jnp.ndarray,
     active: jnp.ndarray,
     cfg: TraceConfig = TraceConfig(),
+    tri_flat: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Shadow predicate: any hit with 0 < t < |light - point|.
 
@@ -140,7 +143,8 @@ def occluded(
         still = active & ~shadowed
         if cfg.use_bvh:
             tri = traverse.traverse_bvh(
-                scene, o, l_dir, t_max=dist, any_hit=True, active=still
+                scene, o, l_dir, t_max=dist, any_hit=True, active=still,
+                tri_flat=tri_flat,
             )
         else:
             tri = traverse.intersect_tris_brute(scene, o, l_dir, t_max=dist)
@@ -154,6 +158,7 @@ def lighting(
     view: jnp.ndarray,
     active: jnp.ndarray,
     cfg: TraceConfig = TraceConfig(),
+    tri_flat: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Phong local illumination with shadows (mytracer.cpp:568-608).
 
@@ -167,7 +172,7 @@ def lighting(
         lcol = scene.light_color[li]
         diff = shade.diffuse_term(hit.normal, hit.point, lp)
         spec = shade.specular_term(hit.normal, hit.point, view, lp, hit.shininess)
-        is_shadow = occluded(scene, hit.point, jnp.broadcast_to(lp, hit.point.shape), cast, cfg)
+        is_shadow = occluded(scene, hit.point, jnp.broadcast_to(lp, hit.point.shape), cast, cfg, tri_flat)
         lit = (~is_shadow).astype(color.dtype)[:, None]
         color = color + lcol[None, :] * lit * (
             hit.diffuse * diff[:, None] + hit.specular * spec[:, None]
@@ -188,11 +193,12 @@ def trace(
     chain, up to ``scene.max_depth`` bounces (mytracer_gpu.cu:237-312).
     """
     R = o.shape[0]
-    kind, idx = intersect_scene(scene, o, d, cfg=cfg)
+    tri_flat = traverse.pack_tri_vertices(scene) if scene.n_tris else None
+    kind, idx = intersect_scene(scene, o, d, cfg=cfg, tri_flat=tri_flat)
     hit = shade.resolve_hit(scene, o, d, kind, idx, cfg.texture_filter)
     valid = hit.valid
 
-    local = lighting(scene, hit, -d, valid, cfg)
+    local = lighting(scene, hit, -d, valid, cfg, tri_flat)
     color = jnp.where(
         valid[:, None], (1.0 - hit.mirror[:, None]) * local, scene.background[None, :]
     )
@@ -206,12 +212,13 @@ def trace(
         live = weight > 0.0
         refl = vm.reflect(cur_d, normal)
         o2 = point + shade.EPS_OFFSET * refl
-        kind, idx = intersect_scene(scene, o2, refl, active=live, cfg=cfg)
+        kind, idx = intersect_scene(scene, o2, refl, active=live, cfg=cfg,
+                                    tri_flat=tri_flat)
         hit = shade.resolve_hit(scene, o2, refl, kind, idx, cfg.texture_filter)
         h = live & hit.valid
         miss = live & ~hit.valid
 
-        local = lighting(scene, hit, -refl, h, cfg)
+        local = lighting(scene, hit, -refl, h, cfg, tri_flat)
         contrib = jnp.where(
             h[:, None], weight[:, None] * (1.0 - hit.mirror[:, None]) * local, 0.0
         )

@@ -10,11 +10,23 @@ machine cannot run. Instead we walk the *threaded* BVH from ops/bvh.py:
     threading) or jumps over a culled subtree (``skip`` link);
   * the whole ray batch advances in lock-step inside one
     ``lax.while_loop``; finished rays idle with pointer -1;
-  * leaf triangle tests unroll a static ``max_leaf``-trip loop (leaf size
-    is statically bounded by the builder);
-  * subtrees are additionally culled against the current best hit
-    (``tmin <= t_best``) — an improvement over the reference AABB test
-    which only checks ``tmax > eps`` (mybvh.cpp:134).
+  * subtrees are culled against the current best hit (``tmin <= t_best``)
+    — an improvement over the reference AABB test which only checks
+    ``tmax > eps`` (mybvh.cpp:134).
+
+Memory-access design (the whole game on TPU — gathers, not FLOPs, bound
+this kernel):
+  * ONE [R, 8] row-gather per step fetches a node's bbox + leaf record
+    (``bvh_nodes_packed``; ints bitcast into the f32 rows) instead of six
+    separate gathers;
+  * ONE [R, 2] row-gather fetches both threading links;
+  * leaf triangles are fetched as ONE windowed gather of the leaf's
+    contiguous [leaf_size x 9] vertex block (triangles were physically
+    reordered leaf-contiguous by the builder, the same trick as the
+    reference's SoA partition swaps, mybvh.cpp:497-503), then tested as a
+    dense [R, leaf_size] VPU batch;
+  * several steps are unrolled inside each while-loop iteration to
+    amortize the lockstep convergence check.
 
 Traversal is *topology only*: it returns the winning triangle index and a
 non-differentiable distance. Shading re-solves the hit differentiably
@@ -31,6 +43,9 @@ import jax.numpy as jnp
 
 from myraytracer_tpu.ops import intersect as isx
 
+#: traversal steps unrolled per while-loop iteration
+STEPS_INNER = 4
+
 
 class TriHit(NamedTuple):
     """Per-ray closest triangle: index (-1 = miss) and distance."""
@@ -43,7 +58,19 @@ class _State(NamedTuple):
     ptr: jnp.ndarray
     t: jnp.ndarray
     idx: jnp.ndarray
-    steps: jnp.ndarray
+
+
+def pack_tri_vertices(scene) -> jnp.ndarray:
+    """[T, 9] packed triangle corners from the CURRENT vertex positions.
+
+    Computed per render call (one regular [T]-gather) so traversal never
+    reads stale geometry after vertex updates; padded by one leaf window
+    so the windowed leaf fetch stays in bounds.
+    """
+    vp = jax.lax.stop_gradient(scene.vertex_pos)
+    tv = scene.tri_vidx
+    packed = jnp.concatenate([vp[tv[:, 0]], vp[tv[:, 1]], vp[tv[:, 2]]], axis=1)
+    return packed.reshape(-1)  # [T*9] flat
 
 
 def traverse_bvh(
@@ -53,11 +80,12 @@ def traverse_bvh(
     t_max: Optional[jnp.ndarray] = None,
     any_hit: bool = False,
     active: Optional[jnp.ndarray] = None,
+    tri_flat: Optional[jnp.ndarray] = None,
 ) -> TriHit:
     """Closest (or any) ray-triangle hit through the threaded BVH.
 
     Args:
-        scene: SceneData (uses bvh_* / tri_vidx / vertex_pos leaves).
+        scene: SceneData (uses bvh_*_packed / tri_vidx / vertex_pos).
         o, d: [R, 3] ray origins / directions.
         t_max: optional [R] upper bound — hits at or beyond it are ignored
             (used by shadow rays with the light distance).
@@ -65,22 +93,23 @@ def traverse_bvh(
             found (shadow occlusion semantics: isShadow = hit && 0 < t <
             light_distance, mytracer.cpp:599).
         active: optional [R] bool mask; inactive rays never traverse.
+        tri_flat: optional precomputed pack_tri_vertices(scene) to share
+            across multiple traversals in one program.
     """
     o = jax.lax.stop_gradient(o)
     d = jax.lax.stop_gradient(d)
     n_nodes = scene.n_nodes
     R = o.shape[0]
+    L = scene.max_leaf
 
     if scene.n_tris == 0:
         return TriHit(jnp.full((R,), -1, jnp.int32), jnp.full((R,), isx.INF))
 
-    bvh_bbmin = jax.lax.stop_gradient(scene.bvh_bbmin)
-    bvh_bbmax = jax.lax.stop_gradient(scene.bvh_bbmax)
-    vertex_pos = jax.lax.stop_gradient(scene.vertex_pos)
-    tri_vidx = scene.tri_vidx
-    bvh_first, bvh_count = scene.bvh_first, scene.bvh_count
-    entry_flat = scene.bvh_entry.reshape(-1)
-    skip_flat = scene.bvh_skip.reshape(-1)
+    if tri_flat is None:
+        tri_flat = pack_tri_vertices(scene)
+    tri_flat = jnp.concatenate([tri_flat, jnp.zeros((9 * L,), tri_flat.dtype)])
+    nodes = jax.lax.stop_gradient(scene.bvh_nodes_packed)
+    links = scene.bvh_links_packed
 
     inv_d = 1.0 / d  # IEEE inf on zero components == reference raw division
     octant = (
@@ -95,49 +124,57 @@ def traverse_bvh(
     if active is not None:
         start = jnp.where(active, start, -1)
 
-    init = _State(
-        ptr=start,
-        t=t0,
-        idx=jnp.full((R,), -1, jnp.int32),
-        steps=jnp.zeros((), jnp.int32),
+    fetch_window = jax.vmap(
+        lambda s: jax.lax.dynamic_slice(tri_flat, (s,), (9 * L,))
     )
+
+    def one_step(s: _State) -> _State:
+        alive = s.ptr >= 0
+        p = jnp.maximum(s.ptr, 0)
+
+        row = nodes[p]                                  # [R, 8] single gather
+        node_min = row[:, 0:3]
+        node_max = row[:, 3:6]
+        first = jax.lax.bitcast_convert_type(row[:, 6], jnp.int32)
+        count = jax.lax.bitcast_convert_type(row[:, 7], jnp.int32)
+
+        box_hit, tmin = isx.ray_aabb(o, inv_d, node_min, node_max)
+        box_hit &= alive & (tmin <= s.t)
+        is_leaf = count > 0
+        leaf_work = box_hit & is_leaf
+
+        # dense leaf test: one windowed gather + [R, L] VPU batch
+        starts = jnp.where(leaf_work, first, 0) * 9
+        win = fetch_window(starts).reshape(R, L, 9)
+        t_tri, _, _ = isx.ray_triangle(
+            o[:, None, :], d[:, None, :],
+            win[:, :, 0:3], win[:, :, 3:6], win[:, :, 6:9],
+        )                                               # [R, L]
+        k_ids = jnp.arange(L, dtype=jnp.int32)[None, :]
+        tri_ok = leaf_work[:, None] & (k_ids < count[:, None])
+        t_tri = jnp.where(tri_ok, t_tri, isx.INF)
+        k_best = jnp.argmin(t_tri, axis=1)
+        t_leaf = jnp.take_along_axis(t_tri, k_best[:, None], axis=1)[:, 0]
+        better = t_leaf < s.t
+        t_new = jnp.where(better, t_leaf, s.t)
+        i_new = jnp.where(better, first + k_best.astype(jnp.int32), s.idx)
+
+        lnk = links[link_base + p]                      # [R, 2] single gather
+        nxt = jnp.where(box_hit & ~is_leaf, lnk[:, 0], lnk[:, 1])
+        ptr = jnp.where(alive, nxt, -1)
+        if any_hit:
+            ptr = jnp.where(i_new >= 0, -1, ptr)
+        return _State(ptr, t_new, i_new)
 
     def cond(s: _State):
         return jnp.any(s.ptr >= 0)
 
     def body(s: _State) -> _State:
-        alive = s.ptr >= 0
-        p = jnp.maximum(s.ptr, 0)
-        node_min = bvh_bbmin[p]
-        node_max = bvh_bbmax[p]
-        box_hit, tmin = isx.ray_aabb(o, inv_d, node_min, node_max)
-        box_hit &= alive & (tmin <= s.t)
+        for _ in range(STEPS_INNER):
+            s = one_step(s)
+        return s
 
-        count = bvh_count[p]
-        first = bvh_first[p]
-        is_leaf = count > 0
-
-        t_best, i_best = s.t, s.idx
-        leaf_work = box_hit & is_leaf
-        for k in range(scene.max_leaf):
-            tri_ok = leaf_work & (k < count)
-            ti = jnp.where(tri_ok, first + k, 0)
-            vidx = tri_vidx[ti]
-            p0 = vertex_pos[vidx[:, 0]]
-            p1 = vertex_pos[vidx[:, 1]]
-            p2 = vertex_pos[vidx[:, 2]]
-            t_tri, _, _ = isx.ray_triangle(o, d, p0, p1, p2)
-            better = tri_ok & (t_tri < t_best)
-            t_best = jnp.where(better, t_tri, t_best)
-            i_best = jnp.where(better, ti, i_best)
-
-        descend = box_hit & ~is_leaf
-        nxt = jnp.where(descend, entry_flat[link_base + p], skip_flat[link_base + p])
-        ptr = jnp.where(alive, nxt, -1)
-        if any_hit:
-            ptr = jnp.where(i_best >= 0, -1, ptr)
-        return _State(ptr, t_best, i_best, s.steps + 1)
-
+    init = _State(ptr=start, t=t0, idx=jnp.full((R,), -1, jnp.int32))
     out = jax.lax.while_loop(cond, body, init)
     t_hit = jnp.where(out.idx >= 0, out.t, isx.INF)
     return TriHit(out.idx, jax.lax.stop_gradient(t_hit))
