@@ -50,6 +50,11 @@ class SceneData:
     plane_center: jnp.ndarray    # [P, 3]
     plane_normal: jnp.ndarray    # [P, 3]
     plane_mat: jnp.ndarray       # [P] int32
+    cyl_center: jnp.ndarray      # [C, 3]
+    cyl_axis: jnp.ndarray        # [C, 3] unit
+    cyl_radius: jnp.ndarray      # [C]
+    cyl_height: jnp.ndarray      # [C]
+    cyl_mat: jnp.ndarray         # [C] int32
 
     # --- triangle geometry (BVH-ordered) ---
     vertex_pos: jnp.ndarray      # [V, 3]
@@ -103,6 +108,10 @@ class SceneData:
         return self.plane_center.shape[0]
 
     @property
+    def n_cylinders(self) -> int:
+        return self.cyl_center.shape[0]
+
+    @property
     def n_tris(self) -> int:
         return self.tri_vidx.shape[0]
 
@@ -129,6 +138,7 @@ class Scene:
         self.max_depth: int = 3
         self._spheres: List[Tuple[np.ndarray, float, Material]] = []
         self._planes: List[Tuple[np.ndarray, np.ndarray, Material]] = []
+        self._cylinders: List[Tuple[np.ndarray, np.ndarray, float, float, Material]] = []
         self._meshes: List[TriangleMesh] = []
 
     # --- authoring API -----------------------------------------------------
@@ -148,6 +158,14 @@ class Scene:
         n = np.asarray(normal, np.float64)
         n = (n / np.linalg.norm(n)).astype(np.float32)
         self._planes.append((np.asarray(center, np.float32), n, material))
+        return self
+
+    def add_cylinder(self, center, axis, radius: float, height: float,
+                     material: Material) -> "Scene":
+        a = np.asarray(axis, np.float64)
+        a = (a / np.linalg.norm(a)).astype(np.float32)
+        self._cylinders.append(
+            (np.asarray(center, np.float32), a, float(radius), float(height), material))
         return self
 
     def add_mesh(self, mesh: TriangleMesh) -> "Scene":
@@ -183,6 +201,16 @@ class Scene:
         p_mat = np.zeros((len(self._planes),), np.int32)
         for i, (c, n, m) in enumerate(self._planes):
             p_center[i], p_normal[i], p_mat[i] = c, n, mat_id(m)
+
+        nc = len(self._cylinders)
+        c_center = np.zeros((nc, 3), np.float32)
+        c_axis = np.zeros((nc, 3), np.float32)
+        c_radius = np.zeros((nc,), np.float32)
+        c_height = np.zeros((nc,), np.float32)
+        c_mat = np.zeros((nc,), np.int32)
+        for i, (c, a, r, h, m) in enumerate(self._cylinders):
+            c_center[i], c_axis[i], c_radius[i], c_height[i], c_mat[i] = (
+                c, a, r, h, mat_id(m))
 
         # meshes -> global flat arrays with rebased indices
         # (the pack loop of build_Data, mytracer.cpp:221-294, redone in NumPy)
@@ -288,6 +316,8 @@ class Scene:
         return SceneData(
             sphere_center=_f32(s_center), sphere_radius=_f32(s_radius), sphere_mat=_i32(s_mat),
             plane_center=_f32(p_center), plane_normal=_f32(p_normal), plane_mat=_i32(p_mat),
+            cyl_center=_f32(c_center), cyl_axis=_f32(c_axis),
+            cyl_radius=_f32(c_radius), cyl_height=_f32(c_height), cyl_mat=_i32(c_mat),
             vertex_pos=_f32(vertex_pos), vertex_normal=_f32(vertex_normal),
             tri_vidx=_i32(tri_vidx_a), tri_uvidx=_i32(tri_uvidx_a),
             tri_mat=_i32(tri_mat_a), tri_flags=_i32(tri_flags_a), tri_tex=_i32(tri_tex_a),

@@ -14,9 +14,10 @@ this module re-derives a complete grammar:
     background r g b
     ambience   r g b
     depth      n
-    plane   cx cy cz  nx ny nz  <material>
-    sphere  cx cy cz  radius    <material>
-    mesh    <relpath.obj|.off>  FLAT|PHONG  [texture.png]
+    plane    cx cy cz  nx ny nz  <material>
+    sphere   cx cy cz  radius    <material>
+    cylinder cx cy cz  ax ay az  radius height  <material>
+    mesh     <relpath.obj|.off>  FLAT|PHONG  [texture.png]
 
     <material> = ar ag ab  dr dg db  sr sg sb  shininess mirror [shadow01]
 
@@ -87,7 +88,7 @@ def read_scene(path: str) -> Scene:
         return j >= len(tokens) or tokens[j] in DIRECTIVES
 
     DIRECTIVES = {"camera", "light", "background", "ambience", "depth",
-                  "plane", "sphere", "mesh"}
+                  "plane", "sphere", "cylinder", "mesh"}
 
     while i < len(tokens):
         tok = tokens[i]
@@ -111,6 +112,9 @@ def read_scene(path: str) -> Scene:
         elif tok == "sphere":
             v = floats(4)
             scene.add_sphere(v[0:3], v[3], material())
+        elif tok == "cylinder":
+            v = floats(8)
+            scene.add_cylinder(v[0:3], v[3:6], v[6], v[7], material())
         elif tok == "mesh":
             fn, mode = take(2)
             mode_i = {"FLAT": FLAT, "PHONG": PHONG}.get(mode)
@@ -154,5 +158,8 @@ def write_scene(path: str, scene: Scene, mesh_files=None) -> None:
         for c_, n, m in scene._planes:
             f.write(f"plane {c_[0]:g} {c_[1]:g} {c_[2]:g} "
                     f"{n[0]:g} {n[1]:g} {n[2]:g} " + mat(m) + "\n")
+        for c_, a, r, h, m in scene._cylinders:
+            f.write(f"cylinder {c_[0]:g} {c_[1]:g} {c_[2]:g} "
+                    f"{a[0]:g} {a[1]:g} {a[2]:g} {r:g} {h:g} " + mat(m) + "\n")
         for fn, mode in (mesh_files or []):
             f.write(f"mesh {fn} {mode}\n")

@@ -95,6 +95,46 @@ def ray_triangle(o, d, p0, p1, p2):
     return jnp.where(valid, t, INF), alpha, beta
 
 
+def ray_cylinder(o, d, center, axis, radius, height):
+    """Closest hit with a finite open (uncapped) cylinder; INF on miss.
+
+    The course framework's Cylinder primitive is absent from the
+    reference repo (SURVEY.md §1.1 lists it among the missing scaffold);
+    this is the standard axis-projected quadratic: with a = d - (d.u)u
+    and b = oc - (oc.u)u, solve |a t + b|^2 = r^2 and keep roots whose
+    hit point lies within +-height/2 along the axis.
+    """
+    oc = o - center
+    d_par = dot_last(d, axis)
+    oc_par = dot_last(oc, axis)
+    a_v = d - d_par[..., None] * axis
+    b_v = oc - oc_par[..., None] * axis
+    a = dot_last(a_v, a_v)
+    b = 2.0 * dot_last(a_v, b_v)
+    c = dot_last(b_v, b_v) - radius * radius
+    degenerate = a < 1e-12  # ray parallel to the axis
+    a_safe = jnp.where(degenerate, 1.0, a)
+    disc = b * b - 4.0 * a_safe * c
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    inv2a = 0.5 / a_safe
+    t0 = (-b - sq) * inv2a
+    t1 = (-b + sq) * inv2a
+
+    def height_ok(t):
+        y = oc_par + t * d_par
+        return jnp.abs(y) <= height * 0.5
+
+    ok0 = (t0 > EPS_HIT) & height_ok(t0)
+    ok1 = (t1 > EPS_HIT) & height_ok(t1)
+    t = jnp.where(ok0, t0, jnp.where(ok1, t1, INF))
+    valid = (~degenerate) & (disc >= 0.0) & (ok0 | ok1)
+    return jnp.where(valid, t, INF)
+
+
+def dot_last(a, b):
+    return jnp.sum(a * b, axis=-1)
+
+
 def ray_aabb(o, inv_d, bbmin, bbmax):
     """Slab test: returns (hit, tmin).
 

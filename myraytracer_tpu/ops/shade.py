@@ -31,6 +31,7 @@ KIND_MISS = 0
 KIND_SPHERE = 1
 KIND_PLANE = 2
 KIND_TRI = 3
+KIND_CYL = 4
 
 #: self-intersection offset for secondary rays (mytracer.cpp:550,570)
 EPS_OFFSET = 1e-4
@@ -90,6 +91,24 @@ def resolve_hit(scene, o, d, kind, idx, texture_filter: str = "nearest") -> Hit:
         t = jnp.where(is_p, t_p, t)
         normal = jnp.where(is_p[:, None], n_p, normal)
         mat_id = jnp.where(is_p, scene.plane_mat[pi], mat_id)
+
+    if scene.n_cylinders:
+        ci = jnp.clip(safe, 0, scene.n_cylinders - 1)
+        cc = scene.cyl_center[ci]
+        ca = scene.cyl_axis[ci]
+        cr = scene.cyl_radius[ci]
+        ch = scene.cyl_height[ci]
+        t_c = isx.ray_cylinder(o, d, cc, ca, cr, ch)
+        t_c = jnp.where(t_c < isx.INF, t_c, 0.0)  # safe value for non-hits
+        p_c = o + t_c[:, None] * d
+        rel = p_c - cc
+        n_c = vm.normalize(rel - vm.dot(rel, ca)[:, None] * ca)
+        # flip outward normal toward the viewer for rays inside the tube
+        n_c = jnp.where(vm.dot(n_c, d)[:, None] > 0, -n_c, n_c)
+        is_c = kind == KIND_CYL
+        t = jnp.where(is_c, t_c, t)
+        normal = jnp.where(is_c[:, None], n_c, normal)
+        mat_id = jnp.where(is_c, scene.cyl_mat[ci], mat_id)
 
     if scene.n_tris:
         ti = jnp.clip(safe, 0, scene.n_tris - 1)

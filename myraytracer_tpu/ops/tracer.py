@@ -88,6 +88,21 @@ def intersect_scene(
         kind = jnp.where(better, shade.KIND_PLANE, kind)
         idx = jnp.where(better, i_p.astype(jnp.int32), idx)
 
+    if scene.n_cylinders:
+        t_all = isx.ray_cylinder(
+            o_ng[:, None, :], d_ng[:, None, :],
+            jax.lax.stop_gradient(scene.cyl_center)[None],
+            jax.lax.stop_gradient(scene.cyl_axis)[None],
+            jax.lax.stop_gradient(scene.cyl_radius)[None],
+            jax.lax.stop_gradient(scene.cyl_height)[None],
+        )
+        i_c = jnp.argmin(t_all, axis=1)
+        t_c = jnp.take_along_axis(t_all, i_c[:, None], axis=1)[:, 0]
+        better = t_c < best_t
+        best_t = jnp.where(better, t_c, best_t)
+        kind = jnp.where(better, shade.KIND_CYL, kind)
+        idx = jnp.where(better, i_c.astype(jnp.int32), idx)
+
     if scene.n_tris:
         if cfg.use_bvh:
             tri = traverse.traverse_bvh(scene, o_ng, d_ng, active=active,
@@ -137,6 +152,15 @@ def occluded(
             o[:, None, :], l_dir[:, None, :],
             jax.lax.stop_gradient(scene.plane_center)[None],
             jax.lax.stop_gradient(scene.plane_normal)[None],
+        )
+        shadowed |= jnp.any(t_all < dist[:, None], axis=1)
+    if scene.n_cylinders:
+        t_all = isx.ray_cylinder(
+            o[:, None, :], l_dir[:, None, :],
+            jax.lax.stop_gradient(scene.cyl_center)[None],
+            jax.lax.stop_gradient(scene.cyl_axis)[None],
+            jax.lax.stop_gradient(scene.cyl_radius)[None],
+            jax.lax.stop_gradient(scene.cyl_height)[None],
         )
         shadowed |= jnp.any(t_all < dist[:, None], axis=1)
     if scene.n_tris:

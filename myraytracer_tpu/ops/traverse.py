@@ -20,11 +20,12 @@ this kernel):
     (``bvh_nodes_packed``; ints bitcast into the f32 rows) instead of six
     separate gathers;
   * ONE [R, 2] row-gather fetches both threading links;
-  * leaf triangles are fetched as ONE windowed gather of the leaf's
-    contiguous [leaf_size x 9] vertex block (triangles were physically
-    reordered leaf-contiguous by the builder, the same trick as the
-    reference's SoA partition swaps, mybvh.cpp:497-503), then tested as a
-    dense [R, leaf_size] VPU batch;
+  * leaf triangles are packed as [T, 9] rows (leaf-contiguous, the same
+    physical reordering as the reference's SoA partition swaps,
+    mybvh.cpp:497-503) and fetched with one row-gather per leaf slot,
+    then tested densely on the VPU. (A windowed vmap(dynamic_slice)
+    fetch was tried first and is catastrophically slow on TPU — it
+    lowers to a sequential per-ray loop; row gathers are the fast path.)
   * several steps are unrolled inside each while-loop iteration to
     amortize the lockstep convergence check.
 
@@ -58,6 +59,7 @@ class _State(NamedTuple):
     ptr: jnp.ndarray
     t: jnp.ndarray
     idx: jnp.ndarray
+    steps: jnp.ndarray
 
 
 def pack_tri_vertices(scene) -> jnp.ndarray:
@@ -81,6 +83,8 @@ def traverse_bvh(
     any_hit: bool = False,
     active: Optional[jnp.ndarray] = None,
     tri_flat: Optional[jnp.ndarray] = None,
+    max_steps: Optional[int] = None,
+    return_steps: bool = False,
 ) -> TriHit:
     """Closest (or any) ray-triangle hit through the threaded BVH.
 
@@ -107,7 +111,7 @@ def traverse_bvh(
 
     if tri_flat is None:
         tri_flat = pack_tri_vertices(scene)
-    tri_flat = jnp.concatenate([tri_flat, jnp.zeros((9 * L,), tri_flat.dtype)])
+    tri_rows = tri_flat.reshape(-1, 9)          # [T, 9]
     nodes = jax.lax.stop_gradient(scene.bvh_nodes_packed)
     links = scene.bvh_links_packed
 
@@ -124,9 +128,7 @@ def traverse_bvh(
     if active is not None:
         start = jnp.where(active, start, -1)
 
-    fetch_window = jax.vmap(
-        lambda s: jax.lax.dynamic_slice(tri_flat, (s,), (9 * L,))
-    )
+    n_tris = scene.n_tris
 
     def one_step(s: _State) -> _State:
         alive = s.ptr >= 0
@@ -143,41 +145,45 @@ def traverse_bvh(
         is_leaf = count > 0
         leaf_work = box_hit & is_leaf
 
-        # dense leaf test: one windowed gather + [R, L] VPU batch
-        starts = jnp.where(leaf_work, first, 0) * 9
-        win = fetch_window(starts).reshape(R, L, 9)
-        t_tri, _, _ = isx.ray_triangle(
-            o[:, None, :], d[:, None, :],
-            win[:, :, 0:3], win[:, :, 3:6], win[:, :, 6:9],
-        )                                               # [R, L]
-        k_ids = jnp.arange(L, dtype=jnp.int32)[None, :]
-        tri_ok = leaf_work[:, None] & (k_ids < count[:, None])
-        t_tri = jnp.where(tri_ok, t_tri, isx.INF)
-        k_best = jnp.argmin(t_tri, axis=1)
-        t_leaf = jnp.take_along_axis(t_tri, k_best[:, None], axis=1)[:, 0]
-        better = t_leaf < s.t
-        t_new = jnp.where(better, t_leaf, s.t)
-        i_new = jnp.where(better, first + k_best.astype(jnp.int32), s.idx)
+        # dense leaf test: one row-gather per slot + [R] VPU batches
+        base = jnp.where(leaf_work, first, 0)
+        t_new, i_new = s.t, s.idx
+        for k in range(L):
+            ti = jnp.minimum(base + k, n_tris - 1)
+            trow = tri_rows[ti]                          # [R, 9] row gather
+            t_tri, _, _ = isx.ray_triangle(
+                o, d, trow[:, 0:3], trow[:, 3:6], trow[:, 6:9]
+            )
+            ok = leaf_work & (k < count) & (t_tri < t_new)
+            t_new = jnp.where(ok, t_tri, t_new)
+            i_new = jnp.where(ok, base + k, i_new)
 
         lnk = links[link_base + p]                      # [R, 2] single gather
         nxt = jnp.where(box_hit & ~is_leaf, lnk[:, 0], lnk[:, 1])
         ptr = jnp.where(alive, nxt, -1)
         if any_hit:
             ptr = jnp.where(i_new >= 0, -1, ptr)
-        return _State(ptr, t_new, i_new)
+        return _State(ptr, t_new, i_new, s.steps)
 
     def cond(s: _State):
-        return jnp.any(s.ptr >= 0)
+        keep = jnp.any(s.ptr >= 0)
+        if max_steps is not None:
+            keep &= s.steps < max_steps  # perf-probe safety bound only
+        return keep
 
     def body(s: _State) -> _State:
         for _ in range(STEPS_INNER):
             s = one_step(s)
-        return s
+        return s._replace(steps=s.steps + STEPS_INNER)
 
-    init = _State(ptr=start, t=t0, idx=jnp.full((R,), -1, jnp.int32))
+    init = _State(ptr=start, t=t0, idx=jnp.full((R,), -1, jnp.int32),
+                  steps=jnp.zeros((), jnp.int32))
     out = jax.lax.while_loop(cond, body, init)
     t_hit = jnp.where(out.idx >= 0, out.t, isx.INF)
-    return TriHit(out.idx, jax.lax.stop_gradient(t_hit))
+    hit = TriHit(out.idx, jax.lax.stop_gradient(t_hit))
+    if return_steps:
+        return hit, out.steps
+    return hit
 
 
 def intersect_tris_brute(scene, o, d, t_max=None, chunk: int = 512) -> TriHit:

@@ -47,6 +47,27 @@ def _hit_plane(o, d, c, n):
     return t if t > EPS_HIT else np.inf
 
 
+def _hit_cylinder(o, d, c, u, r, h):
+    oc = o - c
+    d_par = d @ u
+    oc_par = oc @ u
+    av = d - d_par * u
+    bv = oc - oc_par * u
+    a = av @ av
+    if a < 1e-12:
+        return np.inf
+    b = 2 * (av @ bv)
+    cc = bv @ bv - r * r
+    disc = b * b - 4 * a * cc
+    if disc < 0:
+        return np.inf
+    sq = np.sqrt(disc)
+    for t in ((-b - sq) / (2 * a), (-b + sq) / (2 * a)):
+        if t > EPS_HIT and abs(oc_par + t * d_par) <= h / 2:
+            return t
+    return np.inf
+
+
 def _hit_triangle(o, d, p0, p1, p2):
     """Cramer's-rule solve; returns (t, alpha, beta) or (inf, 0, 0)."""
     m = np.stack([p0 - p2, p1 - p2, -d], axis=1)
@@ -79,6 +100,11 @@ class OracleRenderer:
         self.plane_center = g(scene.plane_center)
         self.plane_normal = g(scene.plane_normal)
         self.plane_mat = g(scene.plane_mat)
+        self.cyl_center = g(scene.cyl_center)
+        self.cyl_axis = g(scene.cyl_axis)
+        self.cyl_radius = g(scene.cyl_radius)
+        self.cyl_height = g(scene.cyl_height)
+        self.cyl_mat = g(scene.cyl_mat)
         self.vp = g(scene.vertex_pos).astype(np.float64)
         self.vn = g(scene.vertex_normal).astype(np.float64)
         self.tv = g(scene.tri_vidx)
@@ -114,6 +140,11 @@ class OracleRenderer:
             t = _hit_plane(o, d, self.plane_center[i], self.plane_normal[i])
             if t < best[0]:
                 best = (t, "plane", i)
+        for i in range(self.cyl_center.shape[0]):
+            t = _hit_cylinder(o, d, self.cyl_center[i], self.cyl_axis[i],
+                              self.cyl_radius[i], self.cyl_height[i])
+            if t < best[0]:
+                best = (t, "cyl", i)
         if self.tv.shape[0]:
             t, i = self._hit_tris_batched(o, d)
             if t < best[0]:
@@ -162,6 +193,14 @@ class OracleRenderer:
         elif kind == "plane":
             n = self.plane_normal[idx]
             mid = self.plane_mat[idx]
+            diffuse = self.mat["diffuse"][mid]
+        elif kind == "cyl":
+            u = self.cyl_axis[idx]
+            rel = point - self.cyl_center[idx]
+            n = _normalize(rel - (rel @ u) * u)
+            if n @ d > 0:
+                n = -n
+            mid = self.cyl_mat[idx]
             diffuse = self.mat["diffuse"][mid]
         else:
             vi = self.tv[idx]
