@@ -81,7 +81,7 @@ def main(argv=None) -> int:
     t0 = time.time()
     data = sc.build()
     t1 = time.time()
-    cfg = tr.TraceConfig(use_bvh=not args.no_bvh)
+    cfg = tr.TraceConfig(tri_method="brute" if args.no_bvh else "auto")
     fn = render_aa if args.aa else render
     img = np.asarray(fn(data, sc.camera, cfg=cfg))
     t2 = time.time()

@@ -94,9 +94,16 @@ class SceneData:
     bvh_nodes_packed: jnp.ndarray  # [N, 8] f32: bbmin, bbmax, bits(first), bits(count)
     bvh_links_packed: jnp.ndarray  # [8N, 2] i32: (entry, skip) per octant-major node
 
+    # --- cluster cut (ops/cluster.py, the TPU streaming fast path) ---
+    cl_first: jnp.ndarray        # [K] int32 first triangle of cluster
+    cl_count: jnp.ndarray        # [K] int32
+    cl_bbmin: jnp.ndarray        # [K, 3]
+    cl_bbmax: jnp.ndarray        # [K, 3]
+
     # --- static config ---
     max_depth: int = dataclasses.field(metadata=dict(static=True), default=3)
     max_leaf: int = dataclasses.field(metadata=dict(static=True), default=2)
+    cl_M: int = dataclasses.field(metadata=dict(static=True), default=128)
 
     # static shape helpers (shapes are trace-time constants under jit)
     @property
@@ -300,6 +307,18 @@ class Scene:
             [entry_a.reshape(-1), skip_a.reshape(-1)], axis=1
         ).astype(np.int32)
 
+        # cluster cut for the streaming tracer (ops/cluster.py)
+        cl_M = 128
+        if n_tris > 0:
+            from myraytracer_tpu.ops.cluster import build_clusters
+
+            cl_first, cl_count, cl_bbmin, cl_bbmax = build_clusters(tree, n_tris, cl_M)
+        else:
+            cl_first = np.zeros((1,), np.int32)
+            cl_count = np.zeros((1,), np.int32)
+            cl_bbmin = np.zeros((1, 3), np.float32)
+            cl_bbmax = np.zeros((1, 3), np.float32)
+
         # material table
         if not materials:
             materials.append(Material())
@@ -330,5 +349,7 @@ class Scene:
             bvh_first=_i32(bvh_arrays[2]), bvh_count=_i32(bvh_arrays[3]),
             bvh_entry=_i32(bvh_arrays[4]), bvh_skip=_i32(bvh_arrays[5]),
             bvh_nodes_packed=_f32(nodes_packed), bvh_links_packed=_i32(links_packed),
+            cl_first=_i32(cl_first), cl_count=_i32(cl_count),
+            cl_bbmin=_f32(cl_bbmin), cl_bbmax=_f32(cl_bbmax), cl_M=cl_M,
             max_depth=int(self.max_depth), max_leaf=int(max_leaf),
         )

@@ -1,0 +1,191 @@
+"""Cluster-scan triangle intersection — the TPU-native fast path.
+
+TPUs have no usable wide gather (XLA's gather engine sustains only
+~300 M rows/s; Mosaic's in-register dynamic_gather spans 128 lanes), so
+pointer-chasing BVH walks are latency-bound no matter how they are
+phrased. This module replaces the walk with dense streaming compute:
+
+  build    the median-split BVH is CUT at subtrees holding <= M
+           triangles; because the builder stores leaves contiguously
+           (ops/bvh.py, mirroring the reference's physical SoA partition,
+           mybvh.cpp:497-503), every cluster is a contiguous triangle
+           range. Clusters get an AABB and are padded into one dense
+           [K, M, 9] corner array.
+  trace    a while-loop runs over clusters in build (DFS, spatially
+           coherent) order. Per cluster: ONE dynamic-slice fetches the
+           [M, 9] block (a single DMA shared by the whole ray tile), a
+           dense [R] AABB test culls, and a `lax.cond` skips the
+           cluster's triangle tests entirely when NO ray in the tile
+           touches it — tile-level coherence turns the hierarchy's
+           log-factor into a branch. Touched clusters run a dense
+           [R, M] Cramer's-rule batch on the VPU.
+
+Rays in a tile must be spatially coherent for the cond-skip to bite;
+ops/render.py tiles the image in 2D blocks for exactly this reason.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from myraytracer_tpu.ops import intersect as isx
+from myraytracer_tpu.ops.traverse import TriHit
+
+#: triangles per cluster (dense batch width; multiple of 128 lanes)
+CLUSTER_M = 128
+
+
+def build_clusters(bvh, leaf_order_tris: int, m: int = CLUSTER_M):
+    """Cut a built BVHArrays into clusters of <= m triangles.
+
+    Returns (first [K], count [K], bbmin [K,3], bbmax [K,3]) in DFS
+    order (spatially coherent). Host-side NumPy.
+    """
+    first, count, left = bvh.first, bvh.count, bvh.left
+    bbmin, bbmax = bvh.bbmin, bvh.bbmax
+
+    out = []
+
+    def subtree_count(n):
+        # total tris under node n = width of its range; ranges are
+        # contiguous by construction
+        return _range_of(n)[1]
+
+    def _range_of(n):
+        # (first, count) for any node: leaves store it; internal nodes
+        # span [left child's first, right child's end)
+        stack = [n]
+        lo, hi = None, None
+        while stack:
+            k = stack.pop()
+            if left[k] < 0:
+                f, c = first[k], count[k]
+                lo = f if lo is None else min(lo, f)
+                hi = f + c if hi is None else max(hi, f + c)
+            else:
+                stack.append(left[k])
+                stack.append(left[k] + 1)
+        return lo, hi - lo
+
+    stack = [0]
+    while stack:
+        n = stack.pop()
+        lo, cnt = _range_of(n)
+        if cnt <= m or left[n] < 0:
+            out.append((lo, cnt, bbmin[n], bbmax[n]))
+        else:
+            stack.append(left[n] + 1)
+            stack.append(left[n])
+
+    K = len(out)
+    cl_first = np.asarray([o[0] for o in out], np.int32)
+    cl_count = np.asarray([o[1] for o in out], np.int32)
+    cl_bbmin = np.stack([o[2] for o in out]).astype(np.float32)
+    cl_bbmax = np.stack([o[3] for o in out]).astype(np.float32)
+    # DFS pop order above emits left-to-right already (left pushed last)
+    return cl_first, cl_count, cl_bbmin, cl_bbmax
+
+
+def pack_cluster_tris(scene, tri_flat16: jnp.ndarray) -> jnp.ndarray:
+    """[K, M, 9] dense per-cluster triangle corners from current verts.
+
+    tri_flat16 is pack_tri_vertices(scene) ([T, 16]); padding slots are
+    filled with the degenerate all-zero triangle (never hits).
+    """
+    K = scene.cl_first.shape[0]
+    M = scene.cl_M
+    T = scene.n_tris
+    tri9 = tri_flat16[:, :9]
+    tri9 = jnp.concatenate([tri9, jnp.zeros((M, 9), tri9.dtype)], axis=0)
+    # per cluster: slice [first : first+M) (static M, traced start)
+    def take(f):
+        return jax.lax.dynamic_slice(tri9, (f, 0), (M, 9))
+
+    return jax.vmap(take)(jnp.minimum(scene.cl_first, T))
+
+
+class _State(NamedTuple):
+    k: jnp.ndarray
+    t: jnp.ndarray
+    idx: jnp.ndarray
+    done: jnp.ndarray
+
+
+def intersect_clusters(
+    scene,
+    o: jnp.ndarray,
+    d: jnp.ndarray,
+    t_max: Optional[jnp.ndarray] = None,
+    any_hit: bool = False,
+    active: Optional[jnp.ndarray] = None,
+    cl_tris: Optional[jnp.ndarray] = None,
+) -> TriHit:
+    """Closest (or any) hit via the cluster scan. Contract of traverse_bvh."""
+    o = jax.lax.stop_gradient(o)
+    d = jax.lax.stop_gradient(d)
+    R = o.shape[0]
+    if scene.n_tris == 0:
+        return TriHit(jnp.full((R,), -1, jnp.int32), jnp.full((R,), isx.INF))
+
+    if cl_tris is None:
+        from myraytracer_tpu.ops.traverse import pack_tri_vertices
+
+        cl_tris = pack_cluster_tris(scene, pack_tri_vertices(scene))
+
+    K = scene.cl_first.shape[0]
+    M = scene.cl_M
+    inv_d = 1.0 / d
+    t0 = jnp.full((R,), isx.INF) if t_max is None else jnp.asarray(t_max)
+    act = jnp.ones((R,), bool) if active is None else active
+
+    cl_first = scene.cl_first
+    cl_bbmin = jax.lax.stop_gradient(scene.cl_bbmin)
+    cl_bbmax = jax.lax.stop_gradient(scene.cl_bbmax)
+    kcount = scene.cl_count
+
+    def body(s: _State) -> _State:
+        k = s.k
+        box_hit, tmin = isx.ray_aabb(o, inv_d, cl_bbmin[k][None], cl_bbmax[k][None])
+        touch = box_hit & act & (tmin <= s.t)
+        if any_hit:
+            touch &= s.idx < 0
+
+        def test(args):
+            t_best, idx = args
+            tri = jax.lax.dynamic_slice(cl_tris, (k, 0, 0), (1, M, 9))[0]
+            t_tri, _, _ = isx.ray_triangle(
+                o[:, None, :], d[:, None, :],
+                tri[None, :, 0:3], tri[None, :, 3:6], tri[None, :, 6:9],
+            )                                            # [R, M]
+            slot_ok = (jnp.arange(M, dtype=jnp.int32) < kcount[k])[None, :]
+            t_tri = jnp.where(touch[:, None] & slot_ok, t_tri, isx.INF)
+            j = jnp.argmin(t_tri, axis=1)
+            t_min = jnp.take_along_axis(t_tri, j[:, None], axis=1)[:, 0]
+            better = t_min < t_best
+            t_best = jnp.where(better, t_min, t_best)
+            idx = jnp.where(better, cl_first[k] + j.astype(jnp.int32), idx)
+            return t_best, idx
+
+        t_new, i_new = jax.lax.cond(
+            jnp.any(touch), test, lambda a: a, (s.t, s.idx)
+        )
+        done = s.done
+        if any_hit:
+            done = jnp.all((i_new >= 0) | ~act)
+        return _State(k + 1, t_new, i_new, done)
+
+    init = _State(
+        k=jnp.zeros((), jnp.int32),
+        t=t0,
+        idx=jnp.full((R,), -1, jnp.int32),
+        done=jnp.zeros((), bool),
+    )
+    out = jax.lax.while_loop(
+        lambda s: (s.k < K) & ~s.done, body, init
+    )
+    t_hit = jnp.where(out.idx >= 0, out.t, isx.INF)
+    return TriHit(out.idx, jax.lax.stop_gradient(t_hit))

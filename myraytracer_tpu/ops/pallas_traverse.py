@@ -1,25 +1,28 @@
-"""Pallas TPU traversal kernel (experimental fast path).
+"""Pallas TPU traversal megakernel.
 
-Same threaded-BVH walk as ops/traverse.py, but as a Pallas kernel with
-the whole acceleration structure resident in VMEM:
+The XLA traversal (ops/traverse.py) is bound by HBM row-gathers inside a
+serial while-loop (~0.3-0.4 Mray/s on office). This kernel keeps the
+whole acceleration structure resident in VMEM and replaces every HBM
+gather with Mosaic's ``tpu.dynamic_gather``:
 
-  * node records [N, 8], links [8N, 2] and packed triangles [T, 16] are
-    mapped fully into VMEM (office-class scenes: a few MB — they fit);
-    every traversal gather then hits on-chip memory instead of HBM,
-    which is the entire cost of the XLA path;
-  * the grid runs over ray tiles; each program instance advances its
-    [RT] rays in lock-step with a fori_loop bounded by a precomputed
-    step cap (while_loop's dynamic trip count costs scheduling on TPU);
-  * gathers use jnp.take along axis 0 inside the kernel (Mosaic lowers
-    VMEM gathers for these shapes).
+  layout    all tables transposed to [components, W] with the *node /
+            triangle id on the lane axis*; ray state lives as [rows, W]
+            vectors with the ray id on the lane axis;
+  gather    Mosaic lowers ``jnp.take_along_axis(x, idx, axis=1)`` with
+            idx.shape == x.shape to a native in-register dynamic gather —
+            broadcasting the per-ray node pointer across the component
+            rows fetches a whole node record ([8, W]) in ONE op;
+  octants   entry/skip links for all 8 direction octants are fetched the
+            same way, then the per-ray octant row is selected with an
+            axis-0 dynamic gather;
+  tiling    the grid runs over ray tiles of width W (W = table width, so
+            the gather's mandatory out-width is fully used).
 
-Falls back transparently: ops/tracer.py uses this only when
-TraceConfig(use_pallas=True) and the scene fits the VMEM budget;
-correctness is pinned to the XLA path by tests/test_pallas.py (interpret
-mode on CPU, compiled on TPU).
+W is the common padded width of the node and triangle tables (>= both,
+multiple of 512). VMEM use: nodes 8W + links 32W + tris 9W floats — an
+office-scale scene is ~3 MB.
 
-Triangles are padded to 16 floats per row (v0,v1,v2,pad) to keep rows
-lane-aligned.
+Correctness is pinned to the XLA walk by tests/test_pallas.py.
 """
 
 from __future__ import annotations
@@ -42,102 +45,150 @@ try:  # pallas import kept lazy-safe for environments without TPU support
 except Exception:  # pragma: no cover
     PALLAS_OK = False
 
-#: rays per program instance
-RAY_TILE = 512
+#: minimum tile/table width (lanes)
+MIN_W = 1024
 
-#: VMEM budget for scene residency (bytes) — beyond this, use the XLA path
-VMEM_SCENE_BUDGET = 10 * 1024 * 1024
+#: VMEM budget for the resident tables (bytes)
+VMEM_SCENE_BUDGET = 12 * 1024 * 1024
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def table_width(scene) -> int:
+    return max(_round_up(scene.n_nodes, 512), _round_up(scene.n_tris, 512), MIN_W)
 
 
 def scene_fits_vmem(scene) -> bool:
-    n_bytes = (
-        scene.bvh_nodes_packed.size * 4
-        + scene.bvh_links_packed.size * 4
-        + scene.n_tris * 16 * 4
-    )
+    w = table_width(scene)
+    n_bytes = 4 * w * (8 + 16 + 16 + 9)  # nodes + entry/skip + tris
     return n_bytes <= VMEM_SCENE_BUDGET
 
 
-def _pack_tris16(scene) -> jnp.ndarray:
-    """[T, 16] lane-padded packed triangle corners (stop-gradient)."""
+def build_tables(scene):
+    """Transposed, width-padded VMEM tables (host/XLA-side, cheap)."""
+    w = table_width(scene)
+    n, t = scene.n_nodes, scene.n_tris
+
+    nodes = jax.lax.stop_gradient(scene.bvh_nodes_packed)      # [N, 8]
+    nodes_t = jnp.zeros((8, w), jnp.float32).at[:, :n].set(nodes.T)
+
+    entry = scene.bvh_entry.astype(jnp.int32)                  # [8, N]
+    skip = scene.bvh_skip.astype(jnp.int32)
+    entry_t = jnp.full((8, w), -1, jnp.int32).at[:, :n].set(entry)
+    skip_t = jnp.full((8, w), -1, jnp.int32).at[:, :n].set(skip)
+
     vp = jax.lax.stop_gradient(scene.vertex_pos)
     tv = scene.tri_vidx
-    p = jnp.concatenate([vp[tv[:, 0]], vp[tv[:, 1]], vp[tv[:, 2]]], axis=1)
-    return jnp.pad(p, ((0, 0), (0, 7)))
+    tri9 = jnp.concatenate([vp[tv[:, 0]], vp[tv[:, 1]], vp[tv[:, 2]]], axis=1)
+    tris_t = jnp.zeros((9, w), jnp.float32).at[:, :t].set(tri9.T)
+
+    return nodes_t, entry_t, skip_t, tris_t, w
 
 
-def _kernel(o_ref, d_ref, t0_ref, act_ref, nodes_ref, links_ref, tris_ref,
-            t_out, idx_out, *, n_nodes: int, max_leaf: int, max_steps: int,
-            any_hit: bool):
-    o = o_ref[:]          # [RT, 3]
-    d = d_ref[:]
-    t0 = t0_ref[:]        # [RT]
-    act = act_ref[:]      # [RT] int32 1/0
+def _kernel(o_ref, d_ref, t0_ref, ptr0_ref, nodes_ref, entry_ref, skip_ref,
+            tris_ref, t_out, idx_out, *, max_leaf: int, any_hit: bool):
+    o = o_ref[:]            # [3, W]
+    d = d_ref[:]            # [3, W]
+    t0 = t0_ref[:]          # [1, W]
+    ptr0 = ptr0_ref[:]      # [1, W] int32 (-1 = inactive)
 
-    nodes = nodes_ref[:]  # [N, 8]
-    links = links_ref[:]  # [8N, 2]
-    tris = tris_ref[:]    # [T, 16]
+    nodes = nodes_ref[:]    # [8, W]
+    entry = entry_ref[:]    # [8, W]
+    skip = skip_ref[:]      # [8, W]
+    tris = tris_ref[:]      # [9, W]
 
+    W = o.shape[1]
     inv_d = 1.0 / d
     octant = (
-        (d[:, 0] < 0).astype(jnp.int32)
-        + 2 * (d[:, 1] < 0).astype(jnp.int32)
-        + 4 * (d[:, 2] < 0).astype(jnp.int32)
-    )
-    link_base = octant * n_nodes
-
-    RT = o.shape[0]
-    ptr0 = jnp.where(act > 0, 0, -1).astype(jnp.int32)
+        (d[0:1] < 0).astype(jnp.int32)
+        + 2 * (d[1:2] < 0).astype(jnp.int32)
+        + 4 * (d[2:3] < 0).astype(jnp.int32)
+    )                       # [1, W]
+    octant8 = jnp.broadcast_to(octant, (8, W))
 
     def one_step(state):
         ptr, t_best, idx = state
-        alive = ptr >= 0
+        alive = ptr >= 0                      # [1, W]
         p = jnp.maximum(ptr, 0)
+        p8 = jnp.broadcast_to(p, (8, W))
 
-        row = jnp.take(nodes, p, axis=0)               # [RT, 8]
-        node_min = row[:, 0:3]
-        node_max = row[:, 3:6]
-        first = jax.lax.bitcast_convert_type(row[:, 6], jnp.int32)
-        count = jax.lax.bitcast_convert_type(row[:, 7], jnp.int32)
+        row = jnp.take_along_axis(nodes, p8, axis=1,
+                                  mode="promise_in_bounds")     # [8, W]
+        node_min = row[0:3]
+        node_max = row[3:6]
+        first = jax.lax.bitcast_convert_type(row[6:7], jnp.int32)
+        count = jax.lax.bitcast_convert_type(row[7:8], jnp.int32)
 
         tsm = jnp.minimum((node_min - o) * inv_d, (node_max - o) * inv_d)
         tbg = jnp.maximum((node_min - o) * inv_d, (node_max - o) * inv_d)
-        tmin = jnp.max(tsm, axis=-1)
-        tmax = jnp.min(tbg, axis=-1)
+        tmin = jnp.max(tsm, axis=0, keepdims=True)              # [1, W]
+        tmax = jnp.min(tbg, axis=0, keepdims=True)
         box_hit = (tmax >= tmin) & (tmax > isx.EPS_HIT)
         box_hit &= alive & (tmin <= t_best)
         is_leaf = count > 0
         leaf_work = box_hit & is_leaf
 
+        base = jnp.where(leaf_work, first, 0)
         t_new, i_new = t_best, idx
         for k in range(max_leaf):
-            ti = jnp.where(leaf_work & (k < count), first + k, 0)
-            trow = jnp.take(tris, ti, axis=0)          # [RT, 16]
-            t_tri, _, _ = isx.ray_triangle(
-                o, d, trow[:, 0:3], trow[:, 3:6], trow[:, 6:9]
-            )
-            ok = leaf_work & (k < count) & (t_tri < t_new)
-            t_new = jnp.where(ok, t_tri, t_new)
-            i_new = jnp.where(ok, first + k, i_new)
+            ti8 = jnp.broadcast_to(base + k, (9, W))
+            trow = jnp.take_along_axis(tris, ti8, axis=1,
+                                       mode="promise_in_bounds")  # [9, W]
+            p0, p1, p2 = trow[0:3], trow[3:6], trow[6:9]
+            # Cramer's-rule solve on component rows
+            c1 = p0 - p2
+            c2 = p1 - p2
+            c3 = -d
+            c4 = o - p2
 
-        lnk = jnp.take(links, link_base + p, axis=0)   # [RT, 2]
-        nxt = jnp.where(box_hit & ~is_leaf, lnk[:, 0], lnk[:, 1])
+            def det3(a, b, c):
+                return (
+                    a[0:1] * (b[1:2] * c[2:3] - b[2:3] * c[1:2])
+                    - b[0:1] * (a[1:2] * c[2:3] - a[2:3] * c[1:2])
+                    + c[0:1] * (a[1:2] * b[2:3] - a[2:3] * b[1:2])
+                )
+
+            s = det3(c1, c2, c3)
+            s_ok = jnp.abs(s) > isx.EPS_DET
+            inv_s = jnp.where(s_ok, 1.0 / jnp.where(s_ok, s, 1.0), 0.0)
+            t_tri = det3(c1, c2, c4) * inv_s
+            alpha = det3(c4, c2, c3) * inv_s
+            beta = det3(c1, c4, c3) * inv_s
+            gamma = 1.0 - alpha - beta
+            inside = (
+                (alpha >= 0) & (alpha <= 1)
+                & (beta >= 0) & (beta <= 1)
+                & (gamma >= 0) & (gamma <= 1)
+            )
+            ok = (
+                s_ok & (t_tri > isx.EPS_HIT) & inside
+                & leaf_work & (k < count) & (t_tri < t_new)
+            )
+            t_new = jnp.where(ok, t_tri, t_new)
+            i_new = jnp.where(ok, base + k, i_new)
+
+        ent = jnp.take_along_axis(entry, p8, axis=1,
+                                  mode="promise_in_bounds")      # [8, W]
+        skp = jnp.take_along_axis(skip, p8, axis=1,
+                                  mode="promise_in_bounds")
+        ent_o = jnp.take_along_axis(ent, octant8, axis=0,
+                                    mode="promise_in_bounds")[0:1]
+        skp_o = jnp.take_along_axis(skp, octant8, axis=0,
+                                    mode="promise_in_bounds")[0:1]
+
+        nxt = jnp.where(box_hit & ~is_leaf, ent_o, skp_o)
         ptr = jnp.where(alive, nxt, -1)
         if any_hit:
             ptr = jnp.where(i_new >= 0, -1, ptr)
         return ptr, t_new, i_new
 
-    def body(_, state):
-        return one_step(state)
-
-    init = (ptr0, t0, jnp.full((RT,), -1, jnp.int32))
-
     def cond(state):
         return jnp.any(state[0] >= 0)
 
-    ptr, t_best, idx = jax.lax.while_loop(
-        cond, lambda s: body(0, s), init
-    )
+    init = (ptr0, t0, jnp.full((1, W), -1, jnp.int32))
+    ptr, t_best, idx = jax.lax.while_loop(cond, lambda s: one_step(s), init)
     t_out[:] = jnp.where(idx >= 0, t_best, isx.INF)
     idx_out[:] = idx
 
@@ -160,52 +211,41 @@ def traverse_bvh_pallas(
     if scene.n_tris == 0:
         return TriHit(jnp.full((R,), -1, jnp.int32), jnp.full((R,), isx.INF))
 
+    nodes_t, entry_t, skip_t, tris_t, W = build_tables(scene)
+
     t0 = jnp.full((R,), isx.INF) if t_max is None else jnp.asarray(t_max)
-    act = (
-        jnp.ones((R,), jnp.int32)
-        if active is None
-        else active.astype(jnp.int32)
-    )
+    ptr0 = jnp.zeros((R,), jnp.int32)
+    if active is not None:
+        ptr0 = jnp.where(active, ptr0, -1)
 
-    n_tiles = (R + RAY_TILE - 1) // RAY_TILE
-    Rp = n_tiles * RAY_TILE
+    n_tiles = (R + W - 1) // W
+    Rp = n_tiles * W
     pad = Rp - R
-    o_p = jnp.pad(o, ((0, pad), (0, 0)))
-    d_p = jnp.pad(d, ((0, pad), (0, 0)), constant_values=1.0)
-    t0_p = jnp.pad(t0, (0, pad))
-    act_p = jnp.pad(act, (0, pad))
+    o_t = jnp.pad(o, ((0, pad), (0, 0))).T                     # [3, Rp]
+    d_t = jnp.pad(d, ((0, pad), (0, 0)), constant_values=1.0).T
+    t0_t = jnp.pad(t0, (0, pad)).reshape(1, Rp)
+    ptr0_t = jnp.pad(ptr0, (0, pad), constant_values=-1).reshape(1, Rp)
 
-    tris16 = _pack_tris16(scene)
-    nodes = jax.lax.stop_gradient(scene.bvh_nodes_packed)
-    links = scene.bvh_links_packed
+    kernel = functools.partial(_kernel, max_leaf=scene.max_leaf,
+                               any_hit=any_hit)
 
-    kernel = functools.partial(
-        _kernel,
-        n_nodes=scene.n_nodes,
-        max_leaf=scene.max_leaf,
-        max_steps=4 * scene.n_nodes,
-        any_hit=any_hit,
-    )
-
-    grid = (n_tiles,)
-    ray_spec = pl.BlockSpec((RAY_TILE, 3), lambda i: (i, 0),
-                            memory_space=pltpu.VMEM)
-    vec_spec = pl.BlockSpec((RAY_TILE,), lambda i: (i,),
-                            memory_space=pltpu.VMEM)
-    full = lambda a: pl.BlockSpec(a.shape, lambda i: tuple(0 for _ in a.shape),
-                                  memory_space=pltpu.VMEM)
+    ray3 = pl.BlockSpec((3, W), lambda i: (0, i), memory_space=pltpu.VMEM)
+    ray1f = pl.BlockSpec((1, W), lambda i: (0, i), memory_space=pltpu.VMEM)
+    ray1i = pl.BlockSpec((1, W), lambda i: (0, i), memory_space=pltpu.VMEM)
+    tbl = lambda a: pl.BlockSpec(a.shape, lambda i: (0, 0),
+                                 memory_space=pltpu.VMEM)
 
     t_hit, idx = pl.pallas_call(
         kernel,
-        grid=grid,
-        in_specs=[ray_spec, ray_spec, vec_spec, vec_spec,
-                  full(nodes), full(links), full(tris16)],
-        out_specs=[vec_spec, vec_spec],
+        grid=(n_tiles,),
+        in_specs=[ray3, ray3, ray1f, ray1i,
+                  tbl(nodes_t), tbl(entry_t), tbl(skip_t), tbl(tris_t)],
+        out_specs=[ray1f, ray1i],
         out_shape=[
-            jax.ShapeDtypeStruct((Rp,), jnp.float32),
-            jax.ShapeDtypeStruct((Rp,), jnp.int32),
+            jax.ShapeDtypeStruct((1, Rp), jnp.float32),
+            jax.ShapeDtypeStruct((1, Rp), jnp.int32),
         ],
         interpret=interpret,
-    )(o_p, d_p, t0_p, act_p, nodes, links, tris16)
+    )(o_t, d_t, t0_t, ptr0_t, nodes_t, entry_t, skip_t, tris_t)
 
-    return TriHit(idx[:R], jax.lax.stop_gradient(t_hit[:R]))
+    return TriHit(idx[0, :R], jax.lax.stop_gradient(t_hit[0, :R]))

@@ -55,6 +55,15 @@ def _trace_tiled(scene, o, d, cfg: tr.TraceConfig, tile: int) -> jnp.ndarray:
     return colors.reshape(n_tiles * tile, 3)[:R]
 
 
+#: 2D pixel-block edge for the primary pass: each trace tile covers a
+#: compact BLOCK x BLOCK screen region. Spatially coherent tiles are what
+#: let the cluster tracer's tile-level cond-skip cull whole triangle
+#: clusters (the TPU analogue of the 16x16 CUDA thread blocks,
+#: mytracer_gpu.cu:59-61 — there for memory coalescing, here for
+#: branch-level culling).
+BLOCK = 128
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "tile", "clamp"))
 def render(
     scene,
@@ -69,10 +78,25 @@ def render(
     (min(color, 1), mytracer_gpu.cu:155) unless ``clamp=False`` (the
     differentiable path prefers the unclamped linear image).
     """
-    xs, ys = camera.pixel_grid()
-    o, d = camera.primary_rays(xs.ravel(), ys.ravel())
-    color = _trace_tiled(scene, o, d, cfg, tile)
-    img = color.reshape(camera.height, camera.width, 3)
+    H, W = camera.height, camera.width
+    bh = bw = BLOCK
+    Hp = ((H + bh - 1) // bh) * bh
+    Wp = ((W + bw - 1) // bw) * bw
+    ys, xs = jnp.meshgrid(
+        jnp.arange(Hp, dtype=jnp.float32), jnp.arange(Wp, dtype=jnp.float32),
+        indexing="ij",
+    )
+    # block order: rays of one BLOCKxBLOCK screen region are contiguous
+    def to_blocks(a):
+        return a.reshape(Hp // bh, bh, Wp // bw, bw).transpose(0, 2, 1, 3).reshape(-1)
+
+    o, d = camera.primary_rays(to_blocks(xs), to_blocks(ys))
+    color = _trace_tiled(scene, o, d, cfg, min(tile, bh * bw))
+    img = (
+        color.reshape(Hp // bh, Wp // bw, bh, bw, 3)
+        .transpose(0, 2, 1, 3, 4)
+        .reshape(Hp, Wp, 3)[:H, :W]
+    )
     if clamp:
         img = jnp.minimum(img, 1.0)
     return img

@@ -5,20 +5,25 @@ The reference's deep per-ray call tree
 lighting, README.md:17) becomes a *wavefront*: every stage runs once over
 the whole flat ray batch —
 
-  intersect_scene : spheres + planes tested against all rays in one VPU
-                    pass each; triangles through the threaded-BVH walk;
-                    closest hit = argmin over the three kinds
-  lighting        : Phong with one batched shadow-occlusion query per
-                    light (any-hit traversal with the light distance)
-  trace           : the mirror chain as a statically unrolled loop of
-                    ``max_depth`` wavefront bounces with a live-weight
-                    mask, the GPU twin's iterative form
+  intersect_scene : spheres / planes / cylinders tested against all rays
+                    in one VPU pass each; triangles through the cluster
+                    scan (TPU) or threaded-BVH walk; closest hit =
+                    argmin over the kinds
+  lighting        : Phong with shadow rays for ALL lights batched into
+                    one [L*R] any-hit query
+  trace           : primary hit + mirror chain folded into ONE
+                    ``lax.scan`` over max_depth+1 wavefront bounces with
+                    a live-weight mask — the GPU twin's iterative form
                     (mytracer_gpu.cu:237-312) plus the CPU's mirror>0
-                    early-exit (mytracer.cpp:547) as a mask.
+                    early-exit (mytracer.cpp:547) as a mask. The scan
+                    (rather than a Python unroll) means the bounce body —
+                    including both traversal call sites — is compiled
+                    exactly once.
 
 Blending follows the visible GPU integrator:
 ``color = (1-m) * local + m * reflected``, miss adds ``weight *
-background`` (mytracer_gpu.cu:265, 292-296).
+background`` (mytracer_gpu.cu:265, 292-296); the primary segment is the
+scan's first iteration with weight 1.
 """
 
 from __future__ import annotations
@@ -37,8 +42,48 @@ from myraytracer_tpu.utils import vecmath as vm
 class TraceConfig(NamedTuple):
     """Static knobs for the integrator."""
 
-    use_bvh: bool = True            # False -> brute-force triangle scan
+    #: triangle intersection strategy:
+    #:   "auto"    -> "cluster" on TPU (dense streaming, no gathers),
+    #:                "bvh" elsewhere
+    #:   "bvh"     -> threaded-BVH lockstep walk (ops/traverse.py)
+    #:   "cluster" -> cluster scan (ops/cluster.py)
+    #:   "brute"   -> all-triangle scan (oracle / tiny scenes)
+    tri_method: str = "auto"
     texture_filter: str = "nearest"  # "nearest" (parity) | "bilinear" (diff)
+
+    def resolved_method(self) -> str:
+        if self.tri_method == "auto":
+            return "cluster" if jax.default_backend() == "tpu" else "bvh"
+        return self.tri_method
+
+
+def _tri_caches(scene, cfg: TraceConfig):
+    """Per-trace shared packed triangle data for the chosen method."""
+    if not scene.n_tris:
+        return None, None
+    tri_flat = traverse.pack_tri_vertices(scene)
+    cl_tris = None
+    if cfg.resolved_method() == "cluster":
+        from myraytracer_tpu.ops import cluster as _cl
+
+        cl_tris = _cl.pack_cluster_tris(scene, tri_flat)
+    return tri_flat, cl_tris
+
+
+def _closest_tris(scene, o, d, active, cfg, tri_flat, cl_tris,
+                  t_max=None, any_hit=False):
+    method = cfg.resolved_method()
+    if method == "bvh":
+        return traverse.traverse_bvh(scene, o, d, t_max=t_max,
+                                     any_hit=any_hit, active=active,
+                                     tri_flat=tri_flat)
+    if method == "cluster":
+        from myraytracer_tpu.ops import cluster as cl
+
+        return cl.intersect_clusters(scene, o, d, t_max=t_max,
+                                     any_hit=any_hit, active=active,
+                                     cl_tris=cl_tris)
+    return traverse.intersect_tris_brute(scene, o, d, t_max=t_max)
 
 
 def intersect_scene(
@@ -48,6 +93,7 @@ def intersect_scene(
     active: Optional[jnp.ndarray] = None,
     cfg: TraceConfig = TraceConfig(),
     tri_flat: Optional[jnp.ndarray] = None,
+    cl_tris: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Closest hit over all primitive kinds.
 
@@ -104,11 +150,7 @@ def intersect_scene(
         idx = jnp.where(better, i_c.astype(jnp.int32), idx)
 
     if scene.n_tris:
-        if cfg.use_bvh:
-            tri = traverse.traverse_bvh(scene, o_ng, d_ng, active=active,
-                                        tri_flat=tri_flat)
-        else:
-            tri = traverse.intersect_tris_brute(scene, o_ng, d_ng)
+        tri = _closest_tris(scene, o_ng, d_ng, active, cfg, tri_flat, cl_tris)
         better = tri.t < best_t
         kind = jnp.where(better, shade.KIND_TRI, kind)
         idx = jnp.where(better, tri.idx, idx)
@@ -118,62 +160,65 @@ def intersect_scene(
     return kind, idx
 
 
-def occluded(
+def occluded_batched(
     scene,
-    point: jnp.ndarray,
-    light_pos: jnp.ndarray,
-    active: jnp.ndarray,
-    cfg: TraceConfig = TraceConfig(),
-    tri_flat: Optional[jnp.ndarray] = None,
+    point: jnp.ndarray,      # [R, 3]
+    active: jnp.ndarray,     # [R] (rays that cast shadows)
+    cfg: TraceConfig,
+    tri_flat=None,
+    cl_tris=None,
 ) -> jnp.ndarray:
-    """Shadow predicate: any hit with 0 < t < |light - point|.
+    """Shadow predicates for ALL lights at once -> [L, R] bool.
 
-    Matches ``isShadow = isIntersect && shadow_t < light_distance && 0 <
-    shadow_t`` (mytracer.cpp:587-599) with the same 1e-4 origin offset,
-    but runs as an any-hit query (identical truth value, earlier retire).
+    Semantics per light match the reference (isShadow = hit && 0 < t <
+    light_distance, mytracer.cpp:587-599, origin offset 1e-4), but the
+    L x R shadow rays run as ONE batched any-hit query.
     """
+    L = scene.n_lights
+    R = point.shape[0]
     point = jax.lax.stop_gradient(point)
-    light_pos = jax.lax.stop_gradient(light_pos)
-    l_vec = light_pos - point
+    lp = jax.lax.stop_gradient(scene.light_pos)          # [L, 3]
+
+    l_vec = lp[:, None, :] - point[None, :, :]           # [L, R, 3]
     dist = vm.norm(l_vec)
     l_dir = vm.normalize(l_vec)
-    o = point + shade.EPS_OFFSET * l_dir
+    o = point[None] + shade.EPS_OFFSET * l_dir
 
-    shadowed = jnp.zeros(point.shape[:-1], bool)
+    of = o.reshape(L * R, 3)
+    df = l_dir.reshape(L * R, 3)
+    distf = dist.reshape(L * R)
+    actf = jnp.broadcast_to(active[None], (L, R)).reshape(L * R)
+
+    shadowed = jnp.zeros((L * R,), bool)
     if scene.n_spheres:
         t_all = isx.ray_sphere(
-            o[:, None, :], l_dir[:, None, :],
+            of[:, None, :], df[:, None, :],
             jax.lax.stop_gradient(scene.sphere_center)[None],
             jax.lax.stop_gradient(scene.sphere_radius)[None],
         )
-        shadowed |= jnp.any(t_all < dist[:, None], axis=1)
+        shadowed |= jnp.any(t_all < distf[:, None], axis=1)
     if scene.n_planes:
         t_all = isx.ray_plane(
-            o[:, None, :], l_dir[:, None, :],
+            of[:, None, :], df[:, None, :],
             jax.lax.stop_gradient(scene.plane_center)[None],
             jax.lax.stop_gradient(scene.plane_normal)[None],
         )
-        shadowed |= jnp.any(t_all < dist[:, None], axis=1)
+        shadowed |= jnp.any(t_all < distf[:, None], axis=1)
     if scene.n_cylinders:
         t_all = isx.ray_cylinder(
-            o[:, None, :], l_dir[:, None, :],
+            of[:, None, :], df[:, None, :],
             jax.lax.stop_gradient(scene.cyl_center)[None],
             jax.lax.stop_gradient(scene.cyl_axis)[None],
             jax.lax.stop_gradient(scene.cyl_radius)[None],
             jax.lax.stop_gradient(scene.cyl_height)[None],
         )
-        shadowed |= jnp.any(t_all < dist[:, None], axis=1)
+        shadowed |= jnp.any(t_all < distf[:, None], axis=1)
     if scene.n_tris:
-        still = active & ~shadowed
-        if cfg.use_bvh:
-            tri = traverse.traverse_bvh(
-                scene, o, l_dir, t_max=dist, any_hit=True, active=still,
-                tri_flat=tri_flat,
-            )
-        else:
-            tri = traverse.intersect_tris_brute(scene, o, l_dir, t_max=dist)
+        still = actf & ~shadowed
+        tri = _closest_tris(scene, of, df, still, cfg, tri_flat, cl_tris,
+                            t_max=distf, any_hit=True)
         shadowed |= tri.idx >= 0
-    return shadowed & active
+    return (shadowed & actf).reshape(L, R)
 
 
 def lighting(
@@ -182,26 +227,46 @@ def lighting(
     view: jnp.ndarray,
     active: jnp.ndarray,
     cfg: TraceConfig = TraceConfig(),
-    tri_flat: Optional[jnp.ndarray] = None,
+    tri_flat=None,
+    cl_tris=None,
 ) -> jnp.ndarray:
     """Phong local illumination with shadows (mytracer.cpp:568-608).
 
     ``view`` is the normalized direction from the point to the viewer.
-    The per-light loop is a static unroll (L is small and static).
+    All lights are evaluated in one batched [L, R] computation.
     """
     color = scene.ambience[None, :] * hit.ambient
+    L = scene.n_lights
+    if L == 0:
+        return color
+
+    point, normal = hit.point, hit.normal
+    lp = scene.light_pos                                  # [L, 3]
+    l_dir = vm.normalize(lp[:, None, :] - point[None])    # [L, R, 3]
+    diff = jnp.maximum(0.0, vm.dot(normal[None], l_dir))  # [L, R]
+
+    r = vm.normalize(vm.mirror(l_dir, normal[None]))
+    cos_rv = jnp.maximum(0.0, vm.dot(r, view[None]))
+    gate = (diff > 0.0) & (cos_rv > 0.0)
+    base = jnp.where(gate, cos_rv, 1.0)
+    spec = jnp.where(gate, jnp.power(base, hit.shininess[None]), 0.0)
+
     cast = active & (hit.shadowable > 0.5)
-    for li in range(scene.n_lights):
-        lp = scene.light_pos[li]
-        lcol = scene.light_color[li]
-        diff = shade.diffuse_term(hit.normal, hit.point, lp)
-        spec = shade.specular_term(hit.normal, hit.point, view, lp, hit.shininess)
-        is_shadow = occluded(scene, hit.point, jnp.broadcast_to(lp, hit.point.shape), cast, cfg, tri_flat)
-        lit = (~is_shadow).astype(color.dtype)[:, None]
-        color = color + lcol[None, :] * lit * (
-            hit.diffuse * diff[:, None] + hit.specular * spec[:, None]
-        )
-    return color
+    is_shadow = occluded_batched(scene, point, cast, cfg, tri_flat, cl_tris)
+    lit = (~is_shadow).astype(color.dtype)                # [L, R]
+
+    contrib = scene.light_color[:, None, :] * lit[:, :, None] * (
+        hit.diffuse[None] * diff[:, :, None]
+        + hit.specular[None] * spec[:, :, None]
+    )                                                     # [L, R, 3]
+    return color + jnp.sum(contrib, axis=0)
+
+
+class _Bounce(NamedTuple):
+    o: jnp.ndarray
+    d: jnp.ndarray
+    weight: jnp.ndarray
+    color: jnp.ndarray
 
 
 def trace(
@@ -212,46 +277,50 @@ def trace(
 ) -> jnp.ndarray:
     """Whitted trace of a ray batch -> [R, 3] linear color (unclamped).
 
-    Primary miss returns the background; each bounce blends
-    ``(1-m) * local`` and carries ``weight *= m`` down the single mirror
-    chain, up to ``scene.max_depth`` bounces (mytracer_gpu.cu:237-312).
+    One lax.scan over (max_depth + 1) wavefront segments: segment 0 is
+    the primary hit (weight 1), segments 1..max_depth follow the mirror
+    chain with ``weight *= m``; a miss adds ``weight * background`` and
+    kills the ray (mytracer_gpu.cu:237-312).
     """
     R = o.shape[0]
-    tri_flat = traverse.pack_tri_vertices(scene) if scene.n_tris else None
-    kind, idx = intersect_scene(scene, o, d, cfg=cfg, tri_flat=tri_flat)
-    hit = shade.resolve_hit(scene, o, d, kind, idx, cfg.texture_filter)
-    valid = hit.valid
+    tri_flat, cl_tris = _tri_caches(scene, cfg)
 
-    local = lighting(scene, hit, -d, valid, cfg, tri_flat)
-    color = jnp.where(
-        valid[:, None], (1.0 - hit.mirror[:, None]) * local, scene.background[None, :]
-    )
-
-    weight = jnp.where(valid, hit.mirror, 0.0)
-    cur_d = d
-    normal = hit.normal
-    point = hit.point
-
-    for _ in range(scene.max_depth):
-        live = weight > 0.0
-        refl = vm.reflect(cur_d, normal)
-        o2 = point + shade.EPS_OFFSET * refl
-        kind, idx = intersect_scene(scene, o2, refl, active=live, cfg=cfg,
-                                    tri_flat=tri_flat)
-        hit = shade.resolve_hit(scene, o2, refl, kind, idx, cfg.texture_filter)
+    def body(carry: _Bounce, _):
+        live = carry.weight > 0.0
+        kind, idx = intersect_scene(scene, carry.o, carry.d, active=live,
+                                    cfg=cfg, tri_flat=tri_flat,
+                                    cl_tris=cl_tris)
+        hit = shade.resolve_hit(scene, carry.o, carry.d, kind, idx,
+                                cfg.texture_filter)
         h = live & hit.valid
         miss = live & ~hit.valid
 
-        local = lighting(scene, hit, -refl, h, cfg, tri_flat)
-        contrib = jnp.where(
-            h[:, None], weight[:, None] * (1.0 - hit.mirror[:, None]) * local, 0.0
+        local = lighting(scene, hit, -carry.d, h, cfg, tri_flat, cl_tris)
+        add = jnp.where(
+            h[:, None],
+            carry.weight[:, None] * (1.0 - hit.mirror[:, None]) * local,
+            0.0,
+        ) + jnp.where(
+            miss[:, None],
+            carry.weight[:, None] * scene.background[None, :],
+            0.0,
         )
-        contrib = contrib + jnp.where(miss[:, None], weight[:, None] * scene.background[None, :], 0.0)
-        color = color + contrib
 
-        weight = jnp.where(h, weight * hit.mirror, 0.0)
-        cur_d = refl
-        normal = hit.normal
-        point = hit.point
+        refl = vm.reflect(carry.d, hit.normal)
+        o2 = hit.point + shade.EPS_OFFSET * refl
+        w2 = jnp.where(h, carry.weight * hit.mirror, 0.0)
+        nxt = _Bounce(
+            o=jnp.where(h[:, None], o2, carry.o),
+            d=jnp.where(h[:, None], refl, carry.d),
+            weight=w2,
+            color=carry.color + add,
+        )
+        return nxt, None
 
-    return color
+    init = _Bounce(
+        o=o, d=d,
+        weight=jnp.ones((R,), o.dtype),
+        color=jnp.zeros((R, 3), o.dtype),
+    )
+    out, _ = jax.lax.scan(body, init, None, length=scene.max_depth + 1)
+    return out.color

@@ -44,8 +44,12 @@ import jax.numpy as jnp
 
 from myraytracer_tpu.ops import intersect as isx
 
-#: traversal steps unrolled per while-loop iteration
-STEPS_INNER = 4
+import os
+
+#: traversal steps unrolled per while-loop iteration (env-tunable for
+#: perf experiments; each unroll amortizes the lockstep convergence check
+#: at the cost of compile time and stragglers)
+STEPS_INNER = int(os.environ.get("MRT_STEPS_INNER", "4"))
 
 
 class TriHit(NamedTuple):
@@ -63,16 +67,16 @@ class _State(NamedTuple):
 
 
 def pack_tri_vertices(scene) -> jnp.ndarray:
-    """[T, 9] packed triangle corners from the CURRENT vertex positions.
+    """[T, 16] packed triangle corners from the CURRENT vertex positions.
 
     Computed per render call (one regular [T]-gather) so traversal never
-    reads stale geometry after vertex updates; padded by one leaf window
-    so the windowed leaf fetch stays in bounds.
+    reads stale geometry after vertex updates. Rows are padded 9 -> 16
+    floats: lane-aligned row gathers are ~3x faster than odd widths.
     """
     vp = jax.lax.stop_gradient(scene.vertex_pos)
     tv = scene.tri_vidx
     packed = jnp.concatenate([vp[tv[:, 0]], vp[tv[:, 1]], vp[tv[:, 2]]], axis=1)
-    return packed.reshape(-1)  # [T*9] flat
+    return jnp.pad(packed, ((0, 0), (0, 7)))
 
 
 def traverse_bvh(
@@ -111,7 +115,7 @@ def traverse_bvh(
 
     if tri_flat is None:
         tri_flat = pack_tri_vertices(scene)
-    tri_rows = tri_flat.reshape(-1, 9)          # [T, 9]
+    tri_rows = tri_flat                          # [T, 16]
     nodes = jax.lax.stop_gradient(scene.bvh_nodes_packed)
     links = scene.bvh_links_packed
 

@@ -110,12 +110,15 @@ class TestOracleAgreement:
         want = OracleRenderer(data, s.camera).render()
         np.testing.assert_allclose(got, want, atol=2e-3)
 
-    def test_mesh_brute_force_matches_bvh(self):
+    def test_all_tri_methods_agree(self):
         s = mesh_scene(PHONG, w=20, h=20)
         data = s.build()
-        a = np.asarray(render(data, s.camera, cfg=tr.TraceConfig(use_bvh=True)))
-        b = np.asarray(render(data, s.camera, cfg=tr.TraceConfig(use_bvh=False)))
-        np.testing.assert_allclose(a, b, atol=1e-5)
+        imgs = [
+            np.asarray(render(data, s.camera, cfg=tr.TraceConfig(tri_method=m)))
+            for m in ("bvh", "cluster", "brute")
+        ]
+        np.testing.assert_allclose(imgs[0], imgs[1], atol=1e-5)
+        np.testing.assert_allclose(imgs[0], imgs[2], atol=1e-5)
 
 
 class TestAdaptiveAA:
