@@ -102,39 +102,24 @@ def render(
     return img
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "tile"))
-def render_loss_grad(
-    scene,
-    o: jnp.ndarray,
-    d: jnp.ndarray,
-    target: jnp.ndarray,
-    cfg: tr.TraceConfig = tr.TraceConfig(),
-    tile: int = TILE,
-):
-    """Sum-squared-error loss of the unclamped render + scene-param grads.
+def _loss_grad_tiled(scene, o, d, target, w, cfg, tile):
+    """Shared core: remat-tiled SSE loss + scene-param grads.
 
-    The fwd+bwd benchmark path (BASELINE.md "Rays/sec/chip fwd+bwd"): the
-    image is processed as a ``lax.scan`` over fixed-size ray tiles with
-    ``jax.checkpoint`` on the tile body, so backward rematerializes one
-    tile at a time — memory stays O(tile) instead of O(image)
-    (the HBM-vs-FLOPs trade XLA can't discover alone).
-
-    Returns (loss, grads) where grads is the float-leaf dict of
-    parallel.shard_render.split_params.
+    A ``lax.scan`` over fixed-size ray tiles with ``jax.checkpoint`` on
+    the tile body: backward rematerializes one tile at a time, so memory
+    stays O(tile) instead of O(image) — the HBM-vs-FLOPs trade XLA can't
+    discover alone. ``w`` masks padded rays.
     """
     from myraytracer_tpu.parallel.shard_render import merge_params, split_params
 
     R = o.shape[0]
     n_tiles = max(1, (R + tile - 1) // tile)
     pad = n_tiles * tile - R
-    w = jnp.concatenate([jnp.ones((R,), o.dtype), jnp.zeros((pad,), o.dtype)])
     o_t = jnp.pad(o, ((0, pad), (0, 0))).reshape(n_tiles, tile, 3)
-    d_pad = jnp.pad(d, ((0, pad), (0, 0)))
-    if pad:
-        d_pad = d_pad.at[R:].set(d[-1])
+    d_pad = jnp.pad(d, ((0, pad), (0, 0)), constant_values=1.0)
     d_t = d_pad.reshape(n_tiles, tile, 3)
     t_t = jnp.pad(target, ((0, pad), (0, 0))).reshape(n_tiles, tile, 3)
-    w_t = w.reshape(n_tiles, tile)
+    w_t = jnp.pad(w, (0, pad)).reshape(n_tiles, tile)
 
     params = split_params(scene)
 
@@ -149,6 +134,63 @@ def render_loss_grad(
         return total
 
     return jax.value_and_grad(loss_fn)(params)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "tile"))
+def render_loss_grad(
+    scene,
+    o: jnp.ndarray,
+    d: jnp.ndarray,
+    target: jnp.ndarray,
+    cfg: tr.TraceConfig = tr.TraceConfig(),
+    tile: int = TILE,
+):
+    """SSE loss + scene-param grads for arbitrary ray batches.
+
+    Returns (loss, grads) where grads is the float-leaf dict of
+    parallel.shard_render.split_params. For whole-image losses prefer
+    :func:`render_loss_grad_image` (block-coherent tiles).
+    """
+    w = jnp.ones((o.shape[0],), o.dtype)
+    return _loss_grad_tiled(scene, o, d, target, w, cfg, tile)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "tile"))
+def render_loss_grad_image(
+    scene,
+    camera: Camera,
+    target_img: jnp.ndarray,
+    cfg: tr.TraceConfig = tr.TraceConfig(),
+    tile: int = TILE,
+):
+    """Whole-image SSE loss + grads with 2D-block-coherent ray tiles.
+
+    The fwd+bwd benchmark path (BASELINE.md "Rays/sec/chip fwd+bwd"):
+    rays and target pixels are reordered into BLOCK x BLOCK screen tiles
+    so the cluster tracer's coherence culling works in the rematerialized
+    forward passes too.
+    """
+    H, W = camera.height, camera.width
+    bh = bw = BLOCK
+    Hp = ((H + bh - 1) // bh) * bh
+    Wp = ((W + bw - 1) // bw) * bw
+    ys, xs = jnp.meshgrid(
+        jnp.arange(Hp, dtype=jnp.float32), jnp.arange(Wp, dtype=jnp.float32),
+        indexing="ij",
+    )
+
+    def to_blocks(a):
+        lead = a.shape[2:]
+        return a.reshape((Hp // bh, bh, Wp // bw, bw) + lead).transpose(
+            (0, 2, 1, 3) + tuple(range(4, 4 + len(lead)))
+        ).reshape((-1,) + lead)
+
+    o, d = camera.primary_rays(to_blocks(xs), to_blocks(ys))
+    tgt = jnp.pad(jnp.asarray(target_img), ((0, Hp - H), (0, Wp - W), (0, 0)))
+    w = jnp.zeros((Hp, Wp), o.dtype).at[:H, :W].set(1.0)
+    return _loss_grad_tiled(
+        scene, o, d, to_blocks(tgt), to_blocks(w), cfg, min(tile, bh * bw)
+    )
 
 
 def _deviation(img: jnp.ndarray) -> jnp.ndarray:
