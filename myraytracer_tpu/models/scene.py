@@ -184,11 +184,13 @@ class Scene:
         return self._meshes
 
     # --- packing -----------------------------------------------------------
-    def build(self, leaf_size: int = 4) -> SceneData:
+    def build(self, leaf_size: int = 4, cluster_size: int = 128) -> SceneData:
         """Pack the scene into device SoA arrays and build the BVH.
 
         ``leaf_size`` bounds BVH leaf occupancy (reference splits to <= 2,
         mybvh.cpp:270; 4 is a better TPU default — fewer lockstep steps).
+        ``cluster_size`` sets the cluster-cut width for the streaming
+        tracer (ops/cluster.py).
         """
         materials: List[Material] = []
 
@@ -308,7 +310,7 @@ class Scene:
         ).astype(np.int32)
 
         # cluster cut for the streaming tracer (ops/cluster.py)
-        cl_M = 128
+        cl_M = int(cluster_size)
         if n_tris > 0:
             from myraytracer_tpu.ops.cluster import build_clusters
 

@@ -285,7 +285,7 @@ def trace(
     R = o.shape[0]
     tri_flat, cl_tris = _tri_caches(scene, cfg)
 
-    def body(carry: _Bounce, _):
+    def segment(carry: _Bounce) -> _Bounce:
         live = carry.weight > 0.0
         kind, idx = intersect_scene(scene, carry.o, carry.d, active=live,
                                     cfg=cfg, tri_flat=tri_flat,
@@ -309,11 +309,19 @@ def trace(
         refl = vm.reflect(carry.d, hit.normal)
         o2 = hit.point + shade.EPS_OFFSET * refl
         w2 = jnp.where(h, carry.weight * hit.mirror, 0.0)
-        nxt = _Bounce(
+        return _Bounce(
             o=jnp.where(h[:, None], o2, carry.o),
             d=jnp.where(h[:, None], refl, carry.d),
             weight=w2,
             color=carry.color + add,
+        )
+
+    def body(carry: _Bounce, _):
+        # skip whole dead segments (once every weight hits 0, remaining
+        # mirror-chain iterations are no-ops — the CPU reference's
+        # mirror>0 early-exit, mytracer.cpp:547, at wavefront level)
+        nxt = jax.lax.cond(
+            jnp.any(carry.weight > 0.0), segment, lambda c: c, carry
         )
         return nxt, None
 
