@@ -108,6 +108,11 @@ def pack_cluster_tris(scene, tri_flat16: jnp.ndarray) -> jnp.ndarray:
     return jax.vmap(take)(jnp.minimum(scene.cl_first, T))
 
 
+#: clusters tested per while-loop iteration (amortizes the ~25us TPU
+#: while-iteration overhead over more dense work)
+GROUP = 2
+
+
 class _State(NamedTuple):
     k: jnp.ndarray
     t: jnp.ndarray
@@ -124,7 +129,14 @@ def intersect_clusters(
     active: Optional[jnp.ndarray] = None,
     cl_tris: Optional[jnp.ndarray] = None,
 ) -> TriHit:
-    """Closest (or any) hit via the cluster scan. Contract of traverse_bvh."""
+    """Closest (or any) hit via the compacted cluster scan.
+
+    Phase 1 tests every (ray, cluster) AABB pair densely and *compacts*
+    the clusters touched by ANY ray in the tile to the front of a static
+    index list; phase 2 while-loops over only those, GROUP at a time, so
+    untouched clusters cost nothing at all (not even a skipped
+    iteration). Contract of traverse.traverse_bvh.
+    """
     o = jax.lax.stop_gradient(o)
     d = jax.lax.stop_gradient(d)
     R = o.shape[0]
@@ -147,36 +159,50 @@ def intersect_clusters(
     cl_bbmax = jax.lax.stop_gradient(scene.cl_bbmax)
     kcount = scene.cl_count
 
-    def body(s: _State) -> _State:
-        k = s.k
-        box_hit, tmin = isx.ray_aabb(o, inv_d, cl_bbmin[k][None], cl_bbmax[k][None])
-        touch = box_hit & act & (tmin <= s.t)
-        if any_hit:
-            touch &= s.idx < 0
+    # ---- phase 1: dense [R, K] AABB pass + compaction ----
+    box_hit, tmin_k = isx.ray_aabb(
+        o[:, None, :], inv_d[:, None, :], cl_bbmin[None], cl_bbmax[None]
+    )                                                   # [R, K]
+    ray_touch = box_hit & act[:, None] & (tmin_k <= t0[:, None])
+    touched = jnp.any(ray_touch, axis=0)                # [K]
+    # stable order: touched clusters first, original (spatial DFS) order kept
+    order = jnp.argsort(jnp.where(touched, 0, 1).astype(jnp.int32), stable=True)
+    n_touched = jnp.sum(touched.astype(jnp.int32))
+    n_groups = (n_touched + GROUP - 1) // GROUP
 
-        def test(args):
-            t_best, idx = args
-            tri = jax.lax.dynamic_slice(cl_tris, (k, 0, 0), (1, M, 9))[0]
+    # pad the order list so groups can read past n_touched harmlessly
+    order_pad = jnp.concatenate(
+        [order.astype(jnp.int32), jnp.zeros((GROUP,), jnp.int32)]
+    )
+
+    def body(s: _State) -> _State:
+        t_best, idx = s.t, s.idx
+        for g in range(GROUP):
+            kk = order_pad[s.k * GROUP + g]
+            in_range = (s.k * GROUP + g) < n_touched
+            col_hit = jax.lax.dynamic_slice_in_dim(ray_touch, kk, 1, 1)[:, 0]
+            col_tmin = jax.lax.dynamic_slice_in_dim(tmin_k, kk, 1, 1)[:, 0]
+            touch = col_hit & in_range & (col_tmin <= t_best)
+            if any_hit:
+                touch &= idx < 0
+
+            tri = jax.lax.dynamic_slice(cl_tris, (kk, 0, 0), (1, M, 9))[0]
             t_tri, _, _ = isx.ray_triangle(
                 o[:, None, :], d[:, None, :],
                 tri[None, :, 0:3], tri[None, :, 3:6], tri[None, :, 6:9],
             )                                            # [R, M]
-            slot_ok = (jnp.arange(M, dtype=jnp.int32) < kcount[k])[None, :]
+            slot_ok = (jnp.arange(M, dtype=jnp.int32) < kcount[kk])[None, :]
             t_tri = jnp.where(touch[:, None] & slot_ok, t_tri, isx.INF)
             j = jnp.argmin(t_tri, axis=1)
             t_min = jnp.take_along_axis(t_tri, j[:, None], axis=1)[:, 0]
             better = t_min < t_best
             t_best = jnp.where(better, t_min, t_best)
-            idx = jnp.where(better, cl_first[k] + j.astype(jnp.int32), idx)
-            return t_best, idx
+            idx = jnp.where(better, cl_first[kk] + j.astype(jnp.int32), idx)
 
-        t_new, i_new = jax.lax.cond(
-            jnp.any(touch), test, lambda a: a, (s.t, s.idx)
-        )
         done = s.done
         if any_hit:
-            done = jnp.all((i_new >= 0) | ~act)
-        return _State(k + 1, t_new, i_new, done)
+            done = jnp.all((idx >= 0) | ~act)
+        return _State(s.k + 1, t_best, idx, done)
 
     init = _State(
         k=jnp.zeros((), jnp.int32),
@@ -185,7 +211,7 @@ def intersect_clusters(
         done=jnp.zeros((), bool),
     )
     out = jax.lax.while_loop(
-        lambda s: (s.k < K) & ~s.done, body, init
+        lambda s: (s.k < n_groups) & ~s.done, body, init
     )
     t_hit = jnp.where(out.idx >= 0, out.t, isx.INF)
     return TriHit(out.idx, jax.lax.stop_gradient(t_hit))

@@ -61,7 +61,9 @@ def _trace_tiled(scene, o, d, cfg: tr.TraceConfig, tile: int) -> jnp.ndarray:
 #: clusters (the TPU analogue of the 16x16 CUDA thread blocks,
 #: mytracer_gpu.cu:59-61 — there for memory coalescing, here for
 #: branch-level culling).
-BLOCK = 128
+import os as _os
+
+BLOCK = int(_os.environ.get("MRT_BLOCK", "128"))
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "tile", "clamp"))
