@@ -108,6 +108,73 @@ def pack_cluster_tris(scene, tri_flat16: jnp.ndarray) -> jnp.ndarray:
     return jax.vmap(take)(jnp.minimum(scene.cl_first, T))
 
 
+def pack_cluster_matrices(scene, tri_flat16: jnp.ndarray) -> jnp.ndarray:
+    """[K, 10, 4M] per-cluster MXU weights for the Cramer solve.
+
+    The ray-triangle system's determinants are bilinear in per-triangle
+    constants and the ray features F = [o, d, w = o x d, 1], so a whole
+    cluster's (S, t_num, a_num, b_num) is ONE [R, 10] @ [10, 4M] matmul:
+
+        S     = -(N . d)                      N  = c1 x c2
+        t_num =   N . o - (N . p2)            c1 = p0 - p2, c2 = p1 - p2
+        a_num =  c2 . w + (p2 x c2) . d
+        b_num = -c1 . w + (c1 x p2) . d
+
+    (identities: det[c1,c2,-d] = -d.(c1 x c2); det[o-p2, c2, -d] expands
+    via the scalar triple product into w- and d-terms). This is the
+    MXU-resident form of mymesh.cpp:176-236's solve.
+    """
+    tris = pack_cluster_tris(scene, tri_flat16)          # [K, M, 9]
+    p0, p1, p2 = tris[..., 0:3], tris[..., 3:6], tris[..., 6:9]
+    c1 = p0 - p2
+    c2 = p1 - p2
+    n = jnp.cross(c1, c2)                                # [K, M, 3]
+    k2 = jnp.cross(p2, c2)
+    k1 = jnp.cross(c1, p2)
+    ndp2 = jnp.sum(n * p2, axis=-1)                      # [K, M]
+
+    K, M = tris.shape[0], tris.shape[1]
+    W = jnp.zeros((K, 10, 4 * M), tris.dtype)
+    # feature rows: 0-2 = o, 3-5 = d, 6-8 = w, 9 = 1
+    W = W.at[:, 3:6, 0 * M:1 * M].set(-jnp.swapaxes(n, 1, 2))      # S
+    W = W.at[:, 0:3, 1 * M:2 * M].set(jnp.swapaxes(n, 1, 2))       # t_num
+    W = W.at[:, 9, 1 * M:2 * M].set(-ndp2)
+    W = W.at[:, 6:9, 2 * M:3 * M].set(jnp.swapaxes(c2, 1, 2))      # a_num
+    W = W.at[:, 3:6, 2 * M:3 * M].set(jnp.swapaxes(k2, 1, 2))
+    W = W.at[:, 6:9, 3 * M:4 * M].set(-jnp.swapaxes(c1, 1, 2))     # b_num
+    W = W.at[:, 3:6, 3 * M:4 * M].set(jnp.swapaxes(k1, 1, 2))
+    return W
+
+
+def _ray_features(o, d):
+    """[R, 10] MXU feature rows: o, d, o x d, 1."""
+    w = jnp.cross(o, d)
+    ones = jnp.ones(o.shape[:-1] + (1,), o.dtype)
+    return jnp.concatenate([o, d, w, ones], axis=-1)
+
+
+def _cluster_solve_mxu(F, Wk, M):
+    """One cluster's (t, alpha, beta, S) via the MXU: [R,10]@[10,4M]."""
+    out = jnp.dot(F, Wk, preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.HIGHEST)
+    s = out[:, 0 * M:1 * M]
+    t_num = out[:, 1 * M:2 * M]
+    a_num = out[:, 2 * M:3 * M]
+    b_num = out[:, 3 * M:4 * M]
+    s_ok = jnp.abs(s) > isx.EPS_DET
+    inv_s = jnp.where(s_ok, 1.0 / jnp.where(s_ok, s, 1.0), 0.0)
+    t = t_num * inv_s
+    alpha = a_num * inv_s
+    beta = b_num * inv_s
+    gamma = 1.0 - alpha - beta
+    inside = (
+        (alpha >= 0) & (alpha <= 1) & (beta >= 0) & (beta <= 1)
+        & (gamma >= 0) & (gamma <= 1)
+    )
+    valid = s_ok & (t > isx.EPS_HIT) & inside
+    return jnp.where(valid, t, isx.INF)
+
+
 #: clusters tested per while-loop iteration (amortizes the ~25us TPU
 #: while-iteration overhead over more dense work)
 GROUP = 2
@@ -150,6 +217,8 @@ def intersect_clusters(
 
     K = scene.cl_first.shape[0]
     M = scene.cl_M
+    use_mxu = cl_tris.shape[1] == 10  # matrices vs raw corners
+    F = _ray_features(o, d) if use_mxu else None
     inv_d = 1.0 / d
     t0 = jnp.full((R,), isx.INF) if t_max is None else jnp.asarray(t_max)
     act = jnp.ones((R,), bool) if active is None else active
@@ -186,11 +255,16 @@ def intersect_clusters(
             if any_hit:
                 touch &= idx < 0
 
-            tri = jax.lax.dynamic_slice(cl_tris, (kk, 0, 0), (1, M, 9))[0]
-            t_tri, _, _ = isx.ray_triangle(
-                o[:, None, :], d[:, None, :],
-                tri[None, :, 0:3], tri[None, :, 3:6], tri[None, :, 6:9],
-            )                                            # [R, M]
+            if use_mxu:
+                Wk = jax.lax.dynamic_slice(
+                    cl_tris, (kk, 0, 0), (1, 10, 4 * M))[0]
+                t_tri = _cluster_solve_mxu(F, Wk, M)     # [R, M]
+            else:
+                tri = jax.lax.dynamic_slice(cl_tris, (kk, 0, 0), (1, M, 9))[0]
+                t_tri, _, _ = isx.ray_triangle(
+                    o[:, None, :], d[:, None, :],
+                    tri[None, :, 0:3], tri[None, :, 3:6], tri[None, :, 6:9],
+                )                                        # [R, M]
             slot_ok = (jnp.arange(M, dtype=jnp.int32) < kcount[kk])[None, :]
             t_tri = jnp.where(touch[:, None] & slot_ok, t_tri, isx.INF)
             j = jnp.argmin(t_tri, axis=1)

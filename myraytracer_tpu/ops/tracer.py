@@ -50,6 +50,12 @@ class TraceConfig(NamedTuple):
     #:   "brute"   -> all-triangle scan (oracle / tiny scenes)
     tri_method: str = "auto"
     texture_filter: str = "nearest"  # "nearest" (parity) | "bilinear" (diff)
+    #: cluster tri test on the MXU (one [R,10]@[10,4M] matmul per
+    #: cluster) instead of the VPU elementwise solve. Measured SLOWER on
+    #: v5e (1.35s vs 1.07s office fwd): the contraction depth is only 10,
+    #: so the systolic array runs near-empty while fp32 HIGHEST costs 6
+    #: passes — kept as an option for future hardware.
+    cluster_mxu: bool = False
 
     def resolved_method(self) -> str:
         if self.tri_method == "auto":
@@ -66,7 +72,10 @@ def _tri_caches(scene, cfg: TraceConfig):
     if cfg.resolved_method() == "cluster":
         from myraytracer_tpu.ops import cluster as _cl
 
-        cl_tris = _cl.pack_cluster_tris(scene, tri_flat)
+        if cfg.cluster_mxu:
+            cl_tris = _cl.pack_cluster_matrices(scene, tri_flat)
+        else:
+            cl_tris = _cl.pack_cluster_tris(scene, tri_flat)
     return tri_flat, cl_tris
 
 
