@@ -175,9 +175,11 @@ def _cluster_solve_mxu(F, Wk, M):
     return jnp.where(valid, t, isx.INF)
 
 
+import os as _os
+
 #: clusters tested per while-loop iteration (amortizes the ~25us TPU
 #: while-iteration overhead over more dense work)
-GROUP = 2
+GROUP = int(_os.environ.get("MRT_CLUSTER_GROUP", "2"))
 
 
 class _State(NamedTuple):

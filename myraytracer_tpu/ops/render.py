@@ -63,7 +63,9 @@ def _trace_tiled(scene, o, d, cfg: tr.TraceConfig, tile: int) -> jnp.ndarray:
 #: branch-level culling).
 import os as _os
 
-BLOCK = int(_os.environ.get("MRT_BLOCK", "128"))
+#: measured knee on v5e (office 1080p fwd): 32 -> 1.03s, 64 -> 0.84s,
+#: 128 -> 1.07s, 256 -> 1.92s
+BLOCK = int(_os.environ.get("MRT_BLOCK", "64"))
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "tile", "clamp"))
@@ -223,7 +225,7 @@ def render_aa(
     tile: int = TILE,
     subp: int = AA_SUBP,
     threshold: float = AA_THRESHOLD,
-    budget_frac: float = 0.25,
+    budget_frac: float = 0.10,
 ) -> jnp.ndarray:
     """Render + adaptive supersampling second pass -> [H, W, 3] in [0,1].
 

@@ -58,9 +58,29 @@ def _pad_rays(o, d, n_shards):
 
 
 def render_sharded(scene, camera, mesh, cfg: tr.TraceConfig = tr.TraceConfig()):
-    """Forward render with rays sharded across ``mesh`` -> [H, W, 3]."""
-    xs, ys = camera.pixel_grid()
-    o, d = camera.primary_rays(xs.ravel(), ys.ravel())
+    """Forward render with rays sharded across ``mesh`` -> [H, W, 3].
+
+    Rays are laid out in 2D screen blocks (ops/render.BLOCK) before
+    sharding, so each chip receives whole coherent tiles and traces them
+    with the same tiled driver as the single-chip path — per-chip
+    behavior (cluster culling, memory) is identical, communication stays
+    zero.
+    """
+    from myraytracer_tpu.ops.render import BLOCK, _trace_tiled
+
+    H, W = camera.height, camera.width
+    bh = bw = BLOCK
+    Hp = ((H + bh - 1) // bh) * bh
+    Wp = ((W + bw - 1) // bw) * bw
+    ys, xs = jnp.meshgrid(
+        jnp.arange(Hp, dtype=jnp.float32), jnp.arange(Wp, dtype=jnp.float32),
+        indexing="ij",
+    )
+
+    def to_blocks(a):
+        return a.reshape(Hp // bh, bh, Wp // bw, bw).transpose(0, 2, 1, 3).reshape(-1)
+
+    o, d = camera.primary_rays(to_blocks(xs), to_blocks(ys))
     o, d, R = _pad_rays(o, d, mesh.devices.size)
 
     @jax.jit
@@ -72,10 +92,15 @@ def render_sharded(scene, camera, mesh, cfg: tr.TraceConfig = tr.TraceConfig()):
         check_vma=False,
     )
     def _fwd(scene, o, d):
-        return tr.trace(scene, o, d, cfg)
+        return _trace_tiled(scene, o, d, cfg, bh * bw)
 
     color = _fwd(scene, o, d)[:R]
-    return jnp.minimum(color.reshape(camera.height, camera.width, 3), 1.0)
+    img = (
+        color.reshape(Hp // bh, Wp // bw, bh, bw, 3)
+        .transpose(0, 2, 1, 3, 4)
+        .reshape(Hp, Wp, 3)[:H, :W]
+    )
+    return jnp.minimum(img, 1.0)
 
 
 def make_train_step(mesh, cfg: tr.TraceConfig = tr.TraceConfig(), lr: float = 1e-3):

@@ -107,9 +107,9 @@ def scene_01_spheres(scale: float = 1.0) -> Scene:
     sphere = lambda col: Material(
         ambient=tuple(0.35 * c for c in col), diffuse=tuple(0.65 * c for c in col),
         specular=(0.6, 0.6, 0.6), shininess=90, mirror=0.35)
-    s.add_sphere((-2.0, -0.45, 2.1), 0.5, sphere((0, 0.9, 0)))
-    s.add_sphere((-0.9, 0.15, 0.5), 0.95, sphere((0.9, 0, 0)))
-    s.add_sphere((2.3, 1.6, -1.6), 2.55, sphere((0, 0, 0.95)))
+    s.add_sphere((-1.75, -0.45, 2.2), 0.5, sphere((0, 0.9, 0)))
+    s.add_sphere((-0.7, 0.15, 0.6), 0.95, sphere((0.9, 0, 0)))
+    s.add_sphere((2.5, 1.6, -1.6), 2.55, sphere((0, 0, 0.95)))
     s.add_plane((0, -0.85, 0), (0, 1, 0),
                 Material(ambient=(0.12, 0.12, 0.12), diffuse=(0.25, 0.25, 0.25),
                          specular=(0.1, 0.1, 0.1), shininess=5, mirror=0.25))
