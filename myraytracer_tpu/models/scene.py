@@ -184,13 +184,16 @@ class Scene:
         return self._meshes
 
     # --- packing -----------------------------------------------------------
-    def build(self, leaf_size: int = 4, cluster_size: int = 128) -> SceneData:
+    def build(self, leaf_size: int = 4, cluster_size: int = 128,
+              builder: str = "sah") -> SceneData:
         """Pack the scene into device SoA arrays and build the BVH.
 
         ``leaf_size`` bounds BVH leaf occupancy (reference splits to <= 2,
         mybvh.cpp:270; 4 is a better TPU default — fewer lockstep steps).
         ``cluster_size`` sets the cluster-cut width for the streaming
-        tracer (ops/cluster.py).
+        tracer (ops/cluster.py). ``builder`` picks the BVH split rule:
+        "sah" (default, tighter bounds) or "median" (reference parity,
+        native C++ fast path).
         """
         materials: List[Material] = []
 
@@ -280,7 +283,8 @@ class Scene:
             p0 = vertex_pos[tri_vidx_a[:, 0]]
             p1 = vertex_pos[tri_vidx_a[:, 1]]
             p2 = vertex_pos[tri_vidx_a[:, 2]]
-            tree = bvh_mod.build_bvh(p0, p1, p2, leaf_size=leaf_size)
+            tree = bvh_mod.build_bvh(p0, p1, p2, leaf_size=leaf_size,
+                                     builder=builder)
             perm = tree.order
             tri_vidx_a = tri_vidx_a[perm]
             tri_uvidx_a = tri_uvidx_a[perm]

@@ -68,14 +68,22 @@ class BVHArrays:
 
 
 def build_bvh(
-    v0: np.ndarray, v1: np.ndarray, v2: np.ndarray, leaf_size: int = MAX_LEAF
+    v0: np.ndarray,
+    v1: np.ndarray,
+    v2: np.ndarray,
+    leaf_size: int = MAX_LEAF,
+    builder: str = "median",
 ) -> BVHArrays:
-    """Build a median-split BVH over triangles given by vertex positions.
+    """Build a BVH over triangles given by vertex positions.
 
     Args:
         v0, v1, v2: [T, 3] float arrays of triangle corner positions.
         leaf_size: stop subdividing at this many triangles (static bound
             for the vectorized leaf loop).
+        builder: "median" (reference-parity median split) or "sah"
+            (16-bin binned surface-area heuristic — typically 1.5-2x
+            fewer node visits and tighter cluster bounds; falls back to
+            median when a node's SAH finds no improving split).
     Returns:
         BVHArrays with triangles permuted into leaf-contiguous order via
         ``order`` (new index i holds old triangle order[i]).
@@ -92,7 +100,7 @@ def build_bvh(
     # MRT_NO_NATIVE=1 or fall back when no compiler is available.
     import os
 
-    if os.environ.get("MRT_NO_NATIVE") != "1":
+    if builder == "median" and os.environ.get("MRT_NO_NATIVE") != "1":
         try:
             from myraytracer_tpu.runtime.native import (
                 build_bvh_native, native_available)
@@ -133,16 +141,24 @@ def build_bvh(
         cnt = count[n]
         if cnt <= leaf_size:
             continue
-        ax = depth % 3
         lo, hi = first[n], first[n] + cnt
         sl = order[lo:hi]
-        pts = centroid[sl, ax]
-        split = _median(pts)
 
-        mask = pts < split
+        mask = None
+        ax = depth % 3
+        if builder == "sah":
+            pick = _sah_split(centroid[sl], tri_min[sl], tri_max[sl])
+            if pick is not None:
+                ax, mask = pick
+        if mask is None:
+            pts = centroid[sl, ax]
+            split = _median(pts)
+            mask = pts < split
+
         n_left = int(mask.sum())
         if n_left == 0 or n_left == cnt:
             # Degenerate: force an even halving (departure, see docstring).
+            pts = centroid[sl, ax]
             n_left = cnt // 2
             idx = np.argsort(pts, kind="stable")
             order[lo:hi] = sl[idx]
@@ -180,6 +196,59 @@ def build_bvh(
         order=order.astype(np.int32),
         max_leaf=max(max_leaf, 1),
     )
+
+
+def _sah_split(cen, tmin, tmax, n_bins: int = 16):
+    """Binned SAH split: returns (axis, left_mask) or None if no split
+    beats keeping the node whole. Vectorized NumPy over the node's tris.
+    """
+    cnt = cen.shape[0]
+    best = None
+    best_cost = float(cnt)  # leaf cost: cnt * 1 intersection
+    node_min = tmin.min(axis=0)
+    node_max = tmax.max(axis=0)
+    ext = node_max - node_min
+    node_sa = 2.0 * (ext[0] * ext[1] + ext[1] * ext[2] + ext[2] * ext[0])
+    if node_sa <= 0:
+        return None
+    for ax in range(3):
+        clo = cen[:, ax].min()
+        chi = cen[:, ax].max()
+        if chi - clo < 1e-12:
+            continue
+        scale = n_bins * (1.0 - 1e-7) / (chi - clo)
+        bin_id = np.minimum(((cen[:, ax] - clo) * scale).astype(np.int64),
+                            n_bins - 1)
+        counts = np.bincount(bin_id, minlength=n_bins)
+        bmin = np.full((n_bins, 3), np.inf)
+        bmax = np.full((n_bins, 3), -np.inf)
+        for k in range(3):
+            np.minimum.at(bmin[:, k], bin_id, tmin[:, k])
+            np.maximum.at(bmax[:, k], bin_id, tmax[:, k])
+
+        def sweep_sa(mn, mx, c):
+            # cumulative bbox surface areas weighted by counts
+            run_min = np.minimum.accumulate(mn, axis=0)
+            run_max = np.maximum.accumulate(mx, axis=0)
+            e = np.maximum(run_max - run_min, 0.0)
+            sa = 2.0 * (e[:, 0] * e[:, 1] + e[:, 1] * e[:, 2] + e[:, 2] * e[:, 0])
+            return sa, np.cumsum(c)
+
+        sa_l, cnt_l = sweep_sa(bmin, bmax, counts)
+        sa_r_rev, cnt_r_rev = sweep_sa(bmin[::-1], bmax[::-1], counts[::-1])
+        sa_r = sa_r_rev[::-1]
+        cnt_r = cnt_r_rev[::-1]
+        # split after bin b: left = bins[0..b], right = bins[b+1..]
+        costs = np.full(n_bins - 1, np.inf)
+        for b in range(n_bins - 1):
+            if cnt_l[b] == 0 or cnt_r[b + 1] == 0:
+                continue
+            costs[b] = 0.125 + (sa_l[b] * cnt_l[b] + sa_r[b + 1] * cnt_r[b + 1]) / node_sa
+        b = int(np.argmin(costs))
+        if costs[b] < best_cost:
+            best_cost = float(costs[b])
+            best = (ax, bin_id <= b)
+    return best
 
 
 def _median(a: np.ndarray) -> float:
