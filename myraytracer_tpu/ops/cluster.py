@@ -181,6 +181,11 @@ import os as _os
 #: while-iteration overhead over more dense work)
 GROUP = int(_os.environ.get("MRT_CLUSTER_GROUP", "2"))
 
+#: entry budget for materializing the [R, K] phase-1 mask; larger scenes
+#: switch to the chunked/recompute path
+STORE_LIMIT = int(_os.environ.get("MRT_CLUSTER_STORE_LIMIT",
+                                  str(32 * 1024 * 1024)))
+
 
 class _State(NamedTuple):
     k: jnp.ndarray
@@ -230,14 +235,59 @@ def intersect_clusters(
     cl_bbmax = jax.lax.stop_gradient(scene.cl_bbmax)
     kcount = scene.cl_count
 
-    # ---- phase 1: dense [R, K] AABB pass + compaction ----
-    box_hit, tmin_k = isx.ray_aabb(
-        o[:, None, :], inv_d[:, None, :], cl_bbmin[None], cl_bbmax[None]
-    )                                                   # [R, K]
-    ray_touch = box_hit & act[:, None] & (tmin_k <= t0[:, None])
-    touched = jnp.any(ray_touch, axis=0)                # [K]
-    # stable order: touched clusters first, original (spatial DFS) order kept
-    order = jnp.argsort(jnp.where(touched, 0, 1).astype(jnp.int32), stable=True)
+    # ---- phase 1: dense AABB pass + compaction ----
+    # For big scenes the [R, K] mask would blow memory; past the limit,
+    # compute the reductions chunked and re-derive columns in the loop.
+    store_mask = R * K <= STORE_LIMIT
+
+    def aabb_cols(kk_lo, width):
+        bmin = jax.lax.dynamic_slice_in_dim(cl_bbmin, kk_lo, width, 0)
+        bmax = jax.lax.dynamic_slice_in_dim(cl_bbmax, kk_lo, width, 0)
+        h, tm = isx.ray_aabb(
+            o[:, None, :], inv_d[:, None, :], bmin[None], bmax[None]
+        )
+        return h, tm
+
+    if store_mask:
+        box_hit, tmin_k = isx.ray_aabb(
+            o[:, None, :], inv_d[:, None, :], cl_bbmin[None], cl_bbmax[None]
+        )                                               # [R, K]
+        ray_touch = box_hit & act[:, None] & (tmin_k <= t0[:, None])
+        touched = jnp.any(ray_touch, axis=0)            # [K]
+    else:
+        CHUNK = min(256, K)
+        Kp = ((K + CHUNK - 1) // CHUNK) * CHUNK
+
+        def chunk_stats(c):
+            h, tm = aabb_cols(jnp.minimum(c * CHUNK, K - CHUNK), CHUNK)
+            tch = h & act[:, None] & (tm <= t0[:, None])
+            cnt = jnp.sum(tch, axis=0)
+            s = jnp.sum(jnp.where(tch, jnp.maximum(tm, 0.0), 0.0), axis=0)
+            return jnp.any(tch, axis=0), cnt, s
+
+        outs = jax.lax.map(chunk_stats, jnp.arange(Kp // CHUNK))
+        # chunks overlap at the tail clamp; recomputing columns in the
+        # loop keeps results exact, stats only guide ordering
+        touched = jnp.zeros((K,), bool)
+        cnts = jnp.zeros((K,), jnp.int32)
+        sums = jnp.zeros((K,), jnp.float32)
+        for c in range(Kp // CHUNK):
+            lo = min(c * CHUNK, K - CHUNK)
+            touched = touched.at[lo:lo + CHUNK].set(outs[0][c])
+            cnts = cnts.at[lo:lo + CHUNK].set(outs[1][c])
+            sums = sums.at[lo:lo + CHUNK].set(outs[2][c])
+        ray_touch = None
+        tmin_k = None
+    # compaction order: touched clusters first, FRONT TO BACK by the
+    # tile's mean entry distance — early hits shrink t_best so the
+    # group-level cond below can skip far clusters outright
+    if store_mask:
+        mean_tmin = jnp.sum(jnp.where(ray_touch, jnp.maximum(tmin_k, 0.0), 0.0), axis=0)
+        mean_tmin = mean_tmin / jnp.maximum(jnp.sum(ray_touch, axis=0), 1)
+    else:
+        mean_tmin = sums / jnp.maximum(cnts, 1)
+    sort_key = jnp.where(touched, mean_tmin, isx.INF)
+    order = jnp.argsort(sort_key, stable=True)
     n_touched = jnp.sum(touched.astype(jnp.int32))
     n_groups = (n_touched + GROUP - 1) // GROUP
 
@@ -246,34 +296,58 @@ def intersect_clusters(
         [order.astype(jnp.int32), jnp.zeros((GROUP,), jnp.int32)]
     )
 
+    def col_for(kk):
+        if store_mask:
+            col_hit = jax.lax.dynamic_slice_in_dim(ray_touch, kk, 1, 1)[:, 0]
+            col_tmin = jax.lax.dynamic_slice_in_dim(tmin_k, kk, 1, 1)[:, 0]
+            return col_hit, col_tmin
+        h, tm = aabb_cols(kk, 1)
+        return (h[:, 0] & act & (tm[:, 0] <= t0)), tm[:, 0]
+
     def body(s: _State) -> _State:
-        t_best, idx = s.t, s.idx
+        def run_group(args):
+            t_best, idx = args
+            for g in range(GROUP):
+                kk = order_pad[s.k * GROUP + g]
+                in_range = (s.k * GROUP + g) < n_touched
+                col_hit, col_tmin = col_for(kk)
+                touch = col_hit & in_range & (col_tmin <= t_best)
+                if any_hit:
+                    touch &= idx < 0
+
+                if use_mxu:
+                    Wk = jax.lax.dynamic_slice(
+                        cl_tris, (kk, 0, 0), (1, 10, 4 * M))[0]
+                    t_tri = _cluster_solve_mxu(F, Wk, M)     # [R, M]
+                else:
+                    tri = jax.lax.dynamic_slice(cl_tris, (kk, 0, 0), (1, M, 9))[0]
+                    t_tri, _, _ = isx.ray_triangle(
+                        o[:, None, :], d[:, None, :],
+                        tri[None, :, 0:3], tri[None, :, 3:6], tri[None, :, 6:9],
+                    )                                        # [R, M]
+                slot_ok = (jnp.arange(M, dtype=jnp.int32) < kcount[kk])[None, :]
+                t_tri = jnp.where(touch[:, None] & slot_ok, t_tri, isx.INF)
+                j = jnp.argmin(t_tri, axis=1)
+                t_min = jnp.take_along_axis(t_tri, j[:, None], axis=1)[:, 0]
+                better = t_min < t_best
+                t_best = jnp.where(better, t_min, t_best)
+                idx = jnp.where(better, cl_first[kk] + j.astype(jnp.int32), idx)
+            return t_best, idx
+
+        # group-level cull against the evolving t_best: with front-to-back
+        # ordering, far clusters drop out once the tile's hits resolve
+        any_live = jnp.zeros((), bool)
         for g in range(GROUP):
             kk = order_pad[s.k * GROUP + g]
             in_range = (s.k * GROUP + g) < n_touched
-            col_hit = jax.lax.dynamic_slice_in_dim(ray_touch, kk, 1, 1)[:, 0]
-            col_tmin = jax.lax.dynamic_slice_in_dim(tmin_k, kk, 1, 1)[:, 0]
-            touch = col_hit & in_range & (col_tmin <= t_best)
+            col_hit, col_tmin = col_for(kk)
+            live = col_hit & in_range & (col_tmin <= s.t)
             if any_hit:
-                touch &= idx < 0
+                live &= s.idx < 0
+            any_live |= jnp.any(live)
 
-            if use_mxu:
-                Wk = jax.lax.dynamic_slice(
-                    cl_tris, (kk, 0, 0), (1, 10, 4 * M))[0]
-                t_tri = _cluster_solve_mxu(F, Wk, M)     # [R, M]
-            else:
-                tri = jax.lax.dynamic_slice(cl_tris, (kk, 0, 0), (1, M, 9))[0]
-                t_tri, _, _ = isx.ray_triangle(
-                    o[:, None, :], d[:, None, :],
-                    tri[None, :, 0:3], tri[None, :, 3:6], tri[None, :, 6:9],
-                )                                        # [R, M]
-            slot_ok = (jnp.arange(M, dtype=jnp.int32) < kcount[kk])[None, :]
-            t_tri = jnp.where(touch[:, None] & slot_ok, t_tri, isx.INF)
-            j = jnp.argmin(t_tri, axis=1)
-            t_min = jnp.take_along_axis(t_tri, j[:, None], axis=1)[:, 0]
-            better = t_min < t_best
-            t_best = jnp.where(better, t_min, t_best)
-            idx = jnp.where(better, cl_first[kk] + j.astype(jnp.int32), idx)
+        t_best, idx = jax.lax.cond(any_live, run_group, lambda a: a,
+                                   (s.t, s.idx))
 
         done = s.done
         if any_hit:

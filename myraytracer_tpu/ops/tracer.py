@@ -56,6 +56,10 @@ class TraceConfig(NamedTuple):
     #: so the systolic array runs near-empty while fp32 HIGHEST costs 6
     #: passes — kept as an option for future hardware.
     cluster_mxu: bool = False
+    #: one triangle occlusion query per light (tighter per-bundle
+    #: compaction) vs a single [L*R] batched query. Measured equal on the
+    #: office scene (0.505 vs 0.508 s); batched keeps the program smaller.
+    shadow_per_light: bool = False
 
     def resolved_method(self) -> str:
         if self.tri_method == "auto":
@@ -193,12 +197,27 @@ def occluded_batched(
     l_dir = vm.normalize(l_vec)
     o = point[None] + shade.EPS_OFFSET * l_dir
 
+    per_light = cfg.shadow_per_light and scene.n_tris > 0
+    if per_light:
+        # one compacted cluster query per light: each light's shadow
+        # bundle is coherent on its own; the cross-light union is not
+        shadowed_tri = []
+        for li in range(L):
+            tri = _closest_tris(
+                scene, o[li], l_dir[li], active, cfg, tri_flat, cl_tris,
+                t_max=dist[li], any_hit=True,
+            )
+            shadowed_tri.append(tri.idx >= 0)
+        tri_shadow = jnp.stack(shadowed_tri).reshape(L * R)
+
     of = o.reshape(L * R, 3)
     df = l_dir.reshape(L * R, 3)
     distf = dist.reshape(L * R)
     actf = jnp.broadcast_to(active[None], (L, R)).reshape(L * R)
 
     shadowed = jnp.zeros((L * R,), bool)
+    if per_light:
+        shadowed |= tri_shadow
     if scene.n_spheres:
         t_all = isx.ray_sphere(
             of[:, None, :], df[:, None, :],
@@ -222,7 +241,7 @@ def occluded_batched(
             jax.lax.stop_gradient(scene.cyl_height)[None],
         )
         shadowed |= jnp.any(t_all < distf[:, None], axis=1)
-    if scene.n_tris:
+    if scene.n_tris and not per_light:
         still = actf & ~shadowed
         tri = _closest_tris(scene, of, df, still, cfg, tri_flat, cl_tris,
                             t_max=distf, any_hit=True)

@@ -55,3 +55,31 @@ def test_mxu_render_matches_vpu_render():
     diff = np.abs(a - b).max(axis=-1)
     assert (diff < 1e-3).mean() > 0.99
     assert np.median(diff) < 1e-5
+
+
+def test_chunked_phase1_matches_dense(monkeypatch):
+    """Large-K fallback (no [R, K] mask) gives identical hits."""
+    import myraytracer_tpu.ops.cluster as clmod
+    from myraytracer_tpu.ops.traverse import pack_tri_vertices
+
+    rng = np.random.default_rng(31)
+    tri = random_tris(700, rng, spread=8.0)
+    scene = _scene_with_tris(tri)
+    tri_flat = pack_tri_vertices(scene)
+    packed = clmod.pack_cluster_tris(scene, tri_flat)
+
+    R = 257
+    o = rng.uniform(-15, 15, size=(R, 3)).astype(np.float32)
+    tgt = rng.uniform(-6, 6, size=(R, 3)).astype(np.float32)
+    d = tgt - o
+    d = (d / np.linalg.norm(d, axis=1, keepdims=True)).astype(np.float32)
+
+    dense = clmod.intersect_clusters(scene, jnp.asarray(o), jnp.asarray(d),
+                                     cl_tris=packed)
+    monkeypatch.setattr(clmod, "STORE_LIMIT", 1)
+    chunked = clmod.intersect_clusters(scene, jnp.asarray(o), jnp.asarray(d),
+                                       cl_tris=packed)
+    np.testing.assert_array_equal(np.asarray(dense.idx), np.asarray(chunked.idx))
+    both = np.asarray(dense.idx) >= 0
+    np.testing.assert_allclose(np.asarray(dense.t)[both],
+                               np.asarray(chunked.t)[both], rtol=1e-6)
