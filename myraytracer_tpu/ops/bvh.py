@@ -100,13 +100,13 @@ def build_bvh(
     # MRT_NO_NATIVE=1 or fall back when no compiler is available.
     import os
 
-    if builder == "median" and os.environ.get("MRT_NO_NATIVE") != "1":
+    if os.environ.get("MRT_NO_NATIVE") != "1":
         try:
             from myraytracer_tpu.runtime.native import (
                 build_bvh_native, native_available)
 
             if native_available():
-                return build_bvh_native(v0, v1, v2, leaf_size)
+                return build_bvh_native(v0, v1, v2, leaf_size, builder)
         except Exception:
             pass
 

@@ -73,6 +73,118 @@ struct Builder {
     return 0.5 * (lo + hi);
   }
 
+  // Binned SAH split (16 bins, all axes). Mirrors ops/bvh.py _sah_split:
+  // returns true + fills (axis, per-tri left flag via bin threshold) when
+  // a split beats the leaf cost.
+  bool use_sah = false;
+
+  bool sah_split(int64_t lo, int64_t cnt, int& out_axis,
+                 std::vector<uint8_t>& left_flag) {
+    constexpr int NB = 16;
+    double best_cost = static_cast<double>(cnt);
+    int best_axis = -1;
+    int best_bin = -1;
+    double best_clo = 0, best_scale = 0;
+
+    double nmn[3] = {1e300, 1e300, 1e300};
+    double nmx[3] = {-1e300, -1e300, -1e300};
+    for (int64_t i = lo; i < lo + cnt; ++i) {
+      const int64_t t = order[i];
+      for (int k = 0; k < 3; ++k) {
+        nmn[k] = std::min(nmn[k], tmin[t * 3 + k]);
+        nmx[k] = std::max(nmx[k], tmax[t * 3 + k]);
+      }
+    }
+    const double ex = nmx[0] - nmn[0], ey = nmx[1] - nmn[1],
+                 ez = nmx[2] - nmn[2];
+    const double node_sa = 2.0 * (ex * ey + ey * ez + ez * ex);
+    if (node_sa <= 0) return false;
+
+    for (int ax = 0; ax < 3; ++ax) {
+      const double* cp = cen(ax);
+      double clo = 1e300, chi = -1e300;
+      for (int64_t i = lo; i < lo + cnt; ++i) {
+        clo = std::min(clo, cp[order[i]]);
+        chi = std::max(chi, cp[order[i]]);
+      }
+      if (chi - clo < 1e-12) continue;
+      const double scale = NB * (1.0 - 1e-7) / (chi - clo);
+
+      int64_t counts[NB] = {0};
+      double bmn[NB][3], bmx[NB][3];
+      for (int b = 0; b < NB; ++b)
+        for (int k = 0; k < 3; ++k) {
+          bmn[b][k] = 1e300;
+          bmx[b][k] = -1e300;
+        }
+      for (int64_t i = lo; i < lo + cnt; ++i) {
+        const int64_t t = order[i];
+        int b = static_cast<int>((cp[t] - clo) * scale);
+        b = std::min(b, NB - 1);
+        counts[b]++;
+        for (int k = 0; k < 3; ++k) {
+          bmn[b][k] = std::min(bmn[b][k], tmin[t * 3 + k]);
+          bmx[b][k] = std::max(bmx[b][k], tmax[t * 3 + k]);
+        }
+      }
+      double sa_l[NB], sa_r[NB];
+      int64_t cnt_l[NB], cnt_r[NB];
+      double rmn[3] = {1e300, 1e300, 1e300}, rmx[3] = {-1e300, -1e300, -1e300};
+      int64_t run = 0;
+      for (int b = 0; b < NB; ++b) {
+        for (int k = 0; k < 3; ++k) {
+          rmn[k] = std::min(rmn[k], bmn[b][k]);
+          rmx[k] = std::max(rmx[k], bmx[b][k]);
+        }
+        run += counts[b];
+        const double dx = std::max(rmx[0] - rmn[0], 0.0),
+                     dy = std::max(rmx[1] - rmn[1], 0.0),
+                     dz = std::max(rmx[2] - rmn[2], 0.0);
+        sa_l[b] = 2.0 * (dx * dy + dy * dz + dz * dx);
+        cnt_l[b] = run;
+      }
+      for (int k = 0; k < 3; ++k) {
+        rmn[k] = 1e300;
+        rmx[k] = -1e300;
+      }
+      run = 0;
+      for (int b = NB - 1; b >= 0; --b) {
+        for (int k = 0; k < 3; ++k) {
+          rmn[k] = std::min(rmn[k], bmn[b][k]);
+          rmx[k] = std::max(rmx[k], bmx[b][k]);
+        }
+        run += counts[b];
+        const double dx = std::max(rmx[0] - rmn[0], 0.0),
+                     dy = std::max(rmx[1] - rmn[1], 0.0),
+                     dz = std::max(rmx[2] - rmn[2], 0.0);
+        sa_r[b] = 2.0 * (dx * dy + dy * dz + dz * dx);
+        cnt_r[b] = run;
+      }
+      for (int b = 0; b < NB - 1; ++b) {
+        if (cnt_l[b] == 0 || cnt_r[b + 1] == 0) continue;
+        const double cost =
+            0.125 + (sa_l[b] * cnt_l[b] + sa_r[b + 1] * cnt_r[b + 1]) / node_sa;
+        if (cost < best_cost) {
+          best_cost = cost;
+          best_axis = ax;
+          best_bin = b;
+          best_clo = clo;
+          best_scale = scale;
+        }
+      }
+    }
+    if (best_axis < 0) return false;
+    const double* cp = cen(best_axis);
+    left_flag.resize(cnt);
+    for (int64_t i = 0; i < cnt; ++i) {
+      int b = static_cast<int>((cp[order[lo + i]] - best_clo) * best_scale);
+      b = std::min(b, 15);
+      left_flag[i] = b <= best_bin ? 1 : 0;
+    }
+    out_axis = best_axis;
+    return true;
+  }
+
   void build() {
     order.resize(T);
     std::iota(order.begin(), order.end(), 0);
@@ -94,29 +206,42 @@ struct Builder {
     std::vector<double> pts;
     std::vector<int64_t> lo_buf, hi_buf;
 
+    std::vector<uint8_t> left_flag;
     while (!stack.empty()) {
       auto [n, depth] = stack.back();
       stack.pop_back();
       const int64_t cnt = count[n];
       if (cnt <= leaf_size) continue;
 
-      const int ax = static_cast<int>(depth % 3);
-      const double* cp = cen(ax);
+      int ax = static_cast<int>(depth % 3);
       const int64_t lo = first[n], hi = lo + cnt;
 
-      pts.resize(cnt);
-      for (int64_t i = 0; i < cnt; ++i) pts[i] = cp[order[lo + i]];
-      const double split = median_of(pts);
+      bool have_mask = false;
+      if (use_sah) {
+        have_mask = sah_split(lo, cnt, ax, left_flag);
+      }
 
       lo_buf.clear();
       hi_buf.clear();
-      for (int64_t i = lo; i < hi; ++i) {
-        if (cp[order[i]] < split) lo_buf.push_back(order[i]);
-        else hi_buf.push_back(order[i]);
+      if (have_mask) {
+        for (int64_t i = 0; i < cnt; ++i) {
+          if (left_flag[i]) lo_buf.push_back(order[lo + i]);
+          else hi_buf.push_back(order[lo + i]);
+        }
+      } else {
+        const double* cp = cen(ax);
+        pts.resize(cnt);
+        for (int64_t i = 0; i < cnt; ++i) pts[i] = cp[order[lo + i]];
+        const double split = median_of(pts);
+        for (int64_t i = lo; i < hi; ++i) {
+          if (cp[order[i]] < split) lo_buf.push_back(order[i]);
+          else hi_buf.push_back(order[i]);
+        }
       }
       int64_t n_left = static_cast<int64_t>(lo_buf.size());
       if (n_left == 0 || n_left == cnt) {
         // degenerate: stable sort by centroid, halve
+        const double* cp = cen(ax);
         n_left = cnt / 2;
         std::stable_sort(order.begin() + lo, order.begin() + hi,
                          [cp](int64_t a, int64_t b) { return cp[a] < cp[b]; });
@@ -179,7 +304,8 @@ extern "C" {
 void* mrt_bvh_build(const double* centroids,  // [T,3] row-major
                     const double* tri_min,    // [T,3]
                     const double* tri_max,    // [T,3]
-                    int64_t T, int32_t leaf_size, int64_t* n_nodes_out) {
+                    int64_t T, int32_t leaf_size, int32_t use_sah,
+                    int64_t* n_nodes_out) {
   auto* b = new Builder();
   b->cxs.resize(T); b->cys.resize(T); b->czs.resize(T);
   for (int64_t i = 0; i < T; ++i) {
@@ -197,6 +323,7 @@ void* mrt_bvh_build(const double* centroids,  // [T,3] row-major
   b->tmax = b->tmax_store.data();
   b->T = T;
   b->leaf_size = leaf_size;
+  b->use_sah = use_sah != 0;
   b->build();
   *n_nodes_out = b->nodes_used;
   return b;

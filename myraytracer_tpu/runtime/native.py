@@ -45,7 +45,7 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.mrt_bvh_build.argtypes = [
         ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
         ctypes.POINTER(ctypes.c_double), ctypes.c_int64, ctypes.c_int32,
-        ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int32, ctypes.POINTER(ctypes.c_int64),
     ]
     lib.mrt_bvh_export.restype = None
     lib.mrt_bvh_export.argtypes = [
@@ -65,7 +65,7 @@ def native_available() -> bool:
 
 
 def build_bvh_native(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
-                     leaf_size: int):
+                     leaf_size: int, builder: str = "median"):
     """Native build; returns the same BVHArrays as ops.bvh.build_bvh."""
     from myraytracer_tpu.ops.bvh import BVHArrays
 
@@ -85,7 +85,7 @@ def build_bvh_native(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
     n_nodes = ctypes.c_int64(0)
     handle = lib.mrt_bvh_build(
         dptr(centroids), dptr(tri_min), dptr(tri_max),
-        T, leaf_size, ctypes.byref(n_nodes),
+        T, leaf_size, 1 if builder == "sah" else 0, ctypes.byref(n_nodes),
     )
     N = n_nodes.value
 

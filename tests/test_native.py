@@ -73,3 +73,28 @@ def test_native_is_faster_at_scale():
     _python_build(v0, v1, v2, 4)
     t_py = time.perf_counter() - t0
     assert t_native < t_py, (t_native, t_py)
+
+
+@needs_native
+@pytest.mark.parametrize("n", [300, 2000])
+def test_native_sah_matches_python(n):
+    rng = np.random.default_rng(n + 1)
+    base = rng.uniform(-10, 10, size=(n, 1, 3))
+    tri = (base + rng.normal(size=(n, 3, 3)) * 0.5).astype(np.float32)
+    v0, v1, v2 = tri[:, 0], tri[:, 1], tri[:, 2]
+
+    a = build_bvh_native(v0, v1, v2, 4, builder="sah")
+
+    os.environ["MRT_NO_NATIVE"] = "1"
+    try:
+        from myraytracer_tpu.ops.bvh import build_bvh
+
+        b = build_bvh(v0, v1, v2, leaf_size=4, builder="sah")
+    finally:
+        del os.environ["MRT_NO_NATIVE"]
+
+    assert a.n_nodes == b.n_nodes
+    np.testing.assert_array_equal(a.order, b.order)
+    np.testing.assert_array_equal(a.count, b.count)
+    np.testing.assert_array_equal(a.entry, b.entry)
+    np.testing.assert_allclose(a.bbmin, b.bbmin, rtol=1e-6)
