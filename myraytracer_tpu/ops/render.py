@@ -242,6 +242,17 @@ def render_aa(
     top_dev, top_idx = jax.lax.top_k(dev, K)
     sel = top_dev > threshold  # [K]
 
+    # top_k orders by deviation — screen-scattered, which defeats the
+    # cluster tracer's tile coherence. Re-sort the selected pixels into
+    # 2D-block screen order before tracing.
+    pxi = top_idx % W
+    pyi = top_idx // W
+    bkey = ((pyi // BLOCK) * ((W + BLOCK - 1) // BLOCK) + pxi // BLOCK)
+    bkey = bkey * (BLOCK * BLOCK) + (pyi % BLOCK) * BLOCK + (pxi % BLOCK)
+    ordk = jnp.argsort(bkey)
+    top_idx = top_idx[ordk]
+    sel = sel[ordk]
+
     px = (top_idx % W).astype(jnp.float32)
     py = (top_idx // W).astype(jnp.float32)
 
