@@ -122,10 +122,10 @@ def scene_02_shadow(scale: float = 1.0) -> Scene:
     s = Scene()
     s.set_camera(eye=(0, 0, 7), center=(0, 0, 0), up=(0, 1, 0),
                  fovy=40, width=int(600 * scale), height=int(400 * scale))
-    s.add_light((-6, 2, 6), (0.9, 0.9, 0.95))
+    s.add_light((-5, 2, 10), (0.9, 0.9, 0.95))
     s.ambience = (0.03, 0.03, 0.03)
     s.background = (0, 0, 0)
-    s.add_sphere((-5.2, 0, -1), 4.2, Material(
+    s.add_sphere((-4.6, 0, -0.6), 4.0, Material(
         ambient=(0, 0, 0.3), diffuse=(0.1, 0.1, 0.8), specular=(0.7, 0.7, 0.7), shininess=120))
     s.add_sphere((-0.3, -0.1, 1.2), 0.25, Material(
         ambient=(0.3, 0, 0), diffuse=(0.8, 0.05, 0.05), specular=(0.3, 0.3, 0.3), shininess=40))
