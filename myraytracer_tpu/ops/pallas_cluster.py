@@ -1,0 +1,287 @@
+"""Pallas TPU kernel for the compacted cluster scan (opt-in fast path).
+
+Same algorithm as ops/cluster.py phase 2, fused into one kernel per ray
+tile: the compacted touched-cluster order and count are scalar-prefetch
+operands, cluster triangle blocks are DMA'd from HBM into a double
+buffer (next cluster's copy overlaps the current dense test), and the
+per-ray best (t, idx) state lives in VMEM scratch across the in-kernel
+while loop — no XLA while-iteration overhead, no per-cluster HLO.
+
+Everything the kernel does is Mosaic-friendly by construction: scalar
+dynamic slices for indexing, elementwise VPU math, axis reductions.
+(The earlier attempt to keep whole-BVH *gathers* in VMEM is impossible —
+tpu.dynamic_gather spans one vreg; see PERF.md.)
+
+Layout:
+  rays       [RT, 4] f32 per tile (o.xyz, pad), [RT, 4] dirs
+  clusters   cl_const HBM [K, 16, M]: per-triangle solve constants on
+             component rows, triangle id on lanes (aligned DMA blocks):
+             rows 0-2 N, 3 N.p2, 4-6 c1, 7-9 c2, 10-12 K1=c1 x p2,
+             13-15 K2=p2 x c2 (same constants as the validated MXU form,
+             ops/cluster.pack_cluster_matrices)
+  bbox       cl_bb [K, 6] f32 in VMEM (bbmin, bbmax)
+  order/meta [K+2] i32 + first/count [K] i32 as scalar prefetch
+
+Used when TraceConfig.use_pallas_cluster is set (off by default until it
+beats the XLA path broadly); correctness is pinned by
+tests/test_pallas_cluster.py in interpret mode and on real TPU.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from myraytracer_tpu.ops import intersect as isx
+from myraytracer_tpu.ops.traverse import TriHit
+
+try:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    PALLAS_OK = True
+except Exception:  # pragma: no cover
+    PALLAS_OK = False
+
+#: rays per kernel instance (matches render.BLOCK^2 = 4096)
+RAY_TILE = 4096
+
+#: ray-chunk rows processed per inner step (bounds VMEM temporaries)
+RCHUNK = 512
+
+
+def _kernel(order_ref, meta_ref, first_ref, count_ref, o_ref, d_ref,
+            t0_ref, act_ref, bb_ref, tris_hbm, t_out, idx_out, buf, sems,
+            *, M: int, any_hit: bool):
+    """One ray tile vs the compacted cluster list."""
+    n_touched = meta_ref[0]
+    RT = o_ref.shape[0]
+
+    t_out[:] = t0_ref[:]
+    idx_out[:] = jnp.full((RT,), -1, jnp.int32)
+
+    def dma(slot, g):
+        kk = order_ref[g]
+        return pltpu.make_async_copy(
+            tris_hbm.at[kk], buf.at[slot], sems.at[slot]
+        )
+
+    @pl.when(n_touched > 0)
+    def _():
+        dma(0, 0).start()
+
+    def loop_body(g, _):
+        slot = jax.lax.rem(g, 2)
+        nxt = jax.lax.rem(g + 1, 2)
+
+        @pl.when(g + 1 < n_touched)
+        def _():
+            dma(nxt, g + 1).start()
+
+        dma(slot, g).wait()
+
+        kk = order_ref[g]
+        row = bb_ref[kk]                       # [6]
+        count = count_ref[kk]
+        first = first_ref[kk]
+        bbmin = row[0:3]
+        bbmax = row[3:6]
+
+        tc = buf[slot]                         # [16, M] solve constants
+        slot_ok = (
+            jax.lax.broadcasted_iota(jnp.int32, (1, M), 1) < count
+        )                                      # [1, M]
+
+        def dotc(rows, a0, a1, a2):
+            # (constant rows [3, M]) . per-ray components [RC, 1] -> [RC, M]
+            return a0 * rows[0:1] + a1 * rows[1:2] + a2 * rows[2:3]
+
+        def ray_chunk(c):
+            # static offsets: Mosaic requires provable alignment for
+            # dynamic 1-D vector loads, so the chunk loop is unrolled
+            sl = slice(c * RCHUNK, (c + 1) * RCHUNK)
+            oc = o_ref[sl, 0:3]                # [RC, 3]
+            dc = d_ref[sl, 0:3]
+            ivc = 1.0 / dc
+            tb = t_out[sl]
+            ib = idx_out[sl]
+            ac = act_ref[sl]
+
+            ts0 = (bbmin[None, :] - oc) * ivc
+            ts1 = (bbmax[None, :] - oc) * ivc
+            tmin = jnp.max(jnp.minimum(ts0, ts1), axis=1)
+            tmax = jnp.min(jnp.maximum(ts0, ts1), axis=1)
+            touch = (tmax >= tmin) & (tmax > isx.EPS_HIT)
+            touch &= (ac > 0) & (tmin <= tb)
+            if any_hit:
+                touch &= ib < 0
+
+            # Cramer solve from per-tri constants (see module docstring):
+            #   S = -(N.d); t_num = N.o - N.p2
+            #   a_num = c2.w + K2.d; b_num = -c1.w + K1.d;  w = o x d
+            # (component-wise: Mosaic cannot concat rows with mixed
+            # sublane offsets, so no jnp.cross in-kernel)
+            o0, o1, o2 = oc[:, 0:1], oc[:, 1:2], oc[:, 2:3]
+            d0, d1, d2 = dc[:, 0:1], dc[:, 1:2], dc[:, 2:3]
+            w0 = o1 * d2 - o2 * d1
+            w1 = o2 * d0 - o0 * d2
+            w2 = o0 * d1 - o1 * d0
+            s = -dotc(tc[0:3], d0, d1, d2)
+            t_num = dotc(tc[0:3], o0, o1, o2) - tc[3:4]
+            a_num = dotc(tc[7:10], w0, w1, w2) + dotc(tc[13:16], d0, d1, d2)
+            b_num = -dotc(tc[4:7], w0, w1, w2) + dotc(tc[10:13], d0, d1, d2)
+            s_ok = jnp.abs(s) > isx.EPS_DET
+            inv_s = jnp.where(s_ok, 1.0 / jnp.where(s_ok, s, 1.0), 0.0)
+            t_tri = t_num * inv_s
+            alpha = a_num * inv_s
+            beta = b_num * inv_s
+            gamma = 1.0 - alpha - beta
+            inside = (
+                (alpha >= 0) & (alpha <= 1) & (beta >= 0) & (beta <= 1)
+                & (gamma >= 0) & (gamma <= 1)
+            )
+            ok = s_ok & (t_tri > isx.EPS_HIT) & inside
+            t_tri = jnp.where(ok & touch[:, None] & slot_ok, t_tri, isx.INF)
+            j = jnp.argmin(t_tri, axis=1).astype(jnp.int32)
+            t_min = jnp.min(t_tri, axis=1)
+            better = t_min < tb
+            t_out[sl] = jnp.where(better, t_min, tb)
+            idx_out[sl] = jnp.where(better, first + j, ib)
+
+        for c in range(RT // RCHUNK):
+            ray_chunk(c)
+        return 0
+
+    jax.lax.fori_loop(0, n_touched, loop_body, 0, unroll=False)
+
+
+def intersect_clusters_pallas(
+    scene,
+    o: jnp.ndarray,
+    d: jnp.ndarray,
+    t_max: Optional[jnp.ndarray] = None,
+    any_hit: bool = False,
+    active: Optional[jnp.ndarray] = None,
+    cl_const: Optional[jnp.ndarray] = None,
+    interpret: bool = False,
+) -> TriHit:
+    """Pallas cluster scan; contract of traverse.traverse_bvh.
+
+    Phase-1 compaction runs in XLA (cheap, dense); the per-cluster loop
+    runs in the kernel.
+    """
+    if not PALLAS_OK:
+        raise RuntimeError("pallas unavailable")
+    o = jax.lax.stop_gradient(o)
+    d = jax.lax.stop_gradient(d)
+    R = o.shape[0]
+    if scene.n_tris == 0:
+        return TriHit(jnp.full((R,), -1, jnp.int32), jnp.full((R,), isx.INF))
+
+    if cl_const is None:
+        cl_const = pack_cluster_constants(scene)
+
+    K = scene.cl_first.shape[0]
+    M = scene.cl_M
+    inv_d = 1.0 / d
+    t0 = jnp.full((R,), isx.INF) if t_max is None else jnp.asarray(t_max)
+    act = jnp.ones((R,), jnp.int32) if active is None else active.astype(jnp.int32)
+
+    cl_bbmin = jax.lax.stop_gradient(scene.cl_bbmin)
+    cl_bbmax = jax.lax.stop_gradient(scene.cl_bbmax)
+
+    # ---- phase 1 (XLA): compacted front-to-back order ----
+    box_hit, tmin_k = isx.ray_aabb(
+        o[:, None, :], inv_d[:, None, :], cl_bbmin[None], cl_bbmax[None]
+    )
+    ray_touch = box_hit & (act[:, None] > 0) & (tmin_k <= t0[:, None])
+    touched = jnp.any(ray_touch, axis=0)
+    mean_tmin = jnp.sum(jnp.where(ray_touch, jnp.maximum(tmin_k, 0.0), 0.0), axis=0)
+    mean_tmin = mean_tmin / jnp.maximum(jnp.sum(ray_touch, axis=0), 1)
+    order = jnp.argsort(jnp.where(touched, mean_tmin, isx.INF), stable=True)
+    n_touched = jnp.sum(touched.astype(jnp.int32))
+    order_pad = jnp.concatenate([order.astype(jnp.int32),
+                                 jnp.zeros((2,), jnp.int32)])
+
+    # packed bbox rows [K, 6]; first/count ride as scalar prefetch
+    bb = jnp.concatenate([cl_bbmin, cl_bbmax], axis=1)
+
+    n_tiles = (R + RAY_TILE - 1) // RAY_TILE
+    Rp = n_tiles * RAY_TILE
+    pad = Rp - R
+    o4 = jnp.pad(o, ((0, pad), (0, 1)))
+    d4 = jnp.pad(d, ((0, pad), (0, 1)), constant_values=1.0)
+    t0p = jnp.pad(t0, (0, pad))
+    actp = jnp.pad(act, (0, pad))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((RAY_TILE, 4), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((RAY_TILE, 4), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((RAY_TILE,), lambda i, *_: (i,),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((RAY_TILE,), lambda i, *_: (i,),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(bb.shape, lambda i, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),   # cl_const stays in HBM
+        ],
+        out_specs=[
+            pl.BlockSpec((RAY_TILE,), lambda i, *_: (i,),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((RAY_TILE,), lambda i, *_: (i,),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, 16, M), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+
+    kernel = functools.partial(_kernel, M=M, any_hit=any_hit)
+    t_hit, idx = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((Rp,), jnp.float32),
+            jax.ShapeDtypeStruct((Rp,), jnp.int32),
+        ],
+        interpret=interpret,
+    )(order_pad, jnp.asarray([n_touched], jnp.int32),
+      scene.cl_first, scene.cl_count, o4, d4, t0p, actp, bb, cl_const)
+
+    idx = idx[:R]
+    t_hit = jnp.where(idx >= 0, t_hit[:R], isx.INF)
+    return TriHit(idx, jax.lax.stop_gradient(t_hit))
+
+
+def pack_cluster_constants(scene, tri_flat16: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """[K, 16, M] per-cluster solve constants, triangle id on lanes.
+
+    Rows: 0-2 N = c1 x c2, 3 N.p2, 4-6 c1, 7-9 c2, 10-12 K1 = c1 x p2,
+    13-15 K2 = p2 x c2 — the same decomposition as the validated MXU
+    form (ops/cluster.pack_cluster_matrices).
+    """
+    from myraytracer_tpu.ops.cluster import pack_cluster_tris
+    from myraytracer_tpu.ops.traverse import pack_tri_vertices
+
+    if tri_flat16 is None:
+        tri_flat16 = pack_tri_vertices(scene)
+    tris = pack_cluster_tris(scene, tri_flat16)          # [K, M, 9]
+    p0, p1, p2 = tris[..., 0:3], tris[..., 3:6], tris[..., 6:9]
+    c1 = p0 - p2
+    c2 = p1 - p2
+    n = jnp.cross(c1, c2)
+    k1 = jnp.cross(c1, p2)
+    k2 = jnp.cross(p2, c2)
+    ndp2 = jnp.sum(n * p2, axis=-1, keepdims=True)       # [K, M, 1]
+    packed = jnp.concatenate([n, ndp2, c1, c2, k1, k2], axis=-1)  # [K, M, 16]
+    return jnp.swapaxes(packed, 1, 2)                    # [K, 16, M]

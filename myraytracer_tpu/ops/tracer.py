@@ -60,6 +60,11 @@ class TraceConfig(NamedTuple):
     #: compaction) vs a single [L*R] batched query. Measured equal on the
     #: office scene (0.505 vs 0.508 s); batched keeps the program smaller.
     shadow_per_light: bool = False
+    #: run the cluster scan as the Pallas megakernel (double-buffered
+    #: cluster DMA, in-kernel loop). Measured ~parity with the XLA scan
+    #: on office (28.7 vs 29.9 ms / 65k rays); opt-in while the XLA path
+    #: remains the tuned default.
+    use_pallas_cluster: bool = False
 
     def resolved_method(self) -> str:
         if self.tri_method == "auto":
@@ -76,7 +81,12 @@ def _tri_caches(scene, cfg: TraceConfig):
     if cfg.resolved_method() == "cluster":
         from myraytracer_tpu.ops import cluster as _cl
 
-        if cfg.cluster_mxu:
+        if cfg.use_pallas_cluster:
+            from myraytracer_tpu.ops.pallas_cluster import (
+                pack_cluster_constants)
+
+            cl_tris = pack_cluster_constants(scene, tri_flat)
+        elif cfg.cluster_mxu:
             cl_tris = _cl.pack_cluster_matrices(scene, tri_flat)
         else:
             cl_tris = _cl.pack_cluster_tris(scene, tri_flat)
@@ -91,6 +101,15 @@ def _closest_tris(scene, o, d, active, cfg, tri_flat, cl_tris,
                                      any_hit=any_hit, active=active,
                                      tri_flat=tri_flat)
     if method == "cluster":
+        if cfg.use_pallas_cluster:
+            from myraytracer_tpu.ops.pallas_cluster import (
+                intersect_clusters_pallas)
+
+            return intersect_clusters_pallas(
+                scene, o, d, t_max=t_max, any_hit=any_hit, active=active,
+                cl_const=cl_tris,
+                interpret=jax.default_backend() != "tpu",
+            )
         from myraytracer_tpu.ops import cluster as cl
 
         return cl.intersect_clusters(scene, o, d, t_max=t_max,

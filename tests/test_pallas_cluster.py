@@ -1,0 +1,87 @@
+"""Pallas cluster-scan kernel vs the XLA cluster scan (interpret mode on
+the CPU backend; compiled via Mosaic on real TPU)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from myraytracer_tpu.ops import cluster as cl
+from myraytracer_tpu.ops.pallas_cluster import (
+    PALLAS_OK, intersect_clusters_pallas,
+)
+
+from test_bvh import random_tris, _scene_with_tris
+
+needs_pallas = pytest.mark.skipif(not PALLAS_OK, reason="no pallas")
+
+
+def _rays(rng, R, spread=15.0):
+    o = rng.uniform(-spread, spread, size=(R, 3)).astype(np.float32)
+    tgt = rng.uniform(-6, 6, size=(R, 3)).astype(np.float32)
+    d = tgt - o
+    d = (d / np.linalg.norm(d, axis=1, keepdims=True)).astype(np.float32)
+    return jnp.asarray(o), jnp.asarray(d)
+
+
+@needs_pallas
+def test_matches_xla_cluster_scan():
+    rng = np.random.default_rng(41)
+    tri = random_tris(600, rng, spread=8.0)
+    scene = _scene_with_tris(tri)
+    o, d = _rays(rng, 700)  # non-multiple of tile: exercises padding
+
+    want = cl.intersect_clusters(scene, o, d)
+    got = intersect_clusters_pallas(scene, o, d, interpret=True)
+
+    # the kernel computes the solve from precomputed constants —
+    # same math, different association: tiny fp drift is expected
+    gi, wi = np.asarray(got.idx), np.asarray(want.idx)
+    assert (gi == wi).mean() > 0.995
+    both = (wi >= 0) & (gi == wi)
+    np.testing.assert_allclose(np.asarray(got.t)[both],
+                               np.asarray(want.t)[both], rtol=5e-5)
+
+
+@needs_pallas
+def test_any_hit_and_active():
+    rng = np.random.default_rng(42)
+    tri = random_tris(200, rng, spread=6.0)
+    scene = _scene_with_tris(tri)
+    o, d = _rays(rng, 300)
+
+    closest = cl.intersect_clusters(scene, o, d)
+    hit = np.asarray(closest.idx) >= 0
+    t_ref = np.asarray(closest.t)
+
+    below = intersect_clusters_pallas(
+        scene, o, d, t_max=jnp.asarray(np.where(hit, t_ref * 0.999, 1e30)),
+        any_hit=True, interpret=True)
+    assert (np.asarray(below.idx)[hit] == -1).all()
+
+    above = intersect_clusters_pallas(
+        scene, o, d, t_max=jnp.asarray(np.where(hit, t_ref * 1.001, 1e30)),
+        any_hit=True, interpret=True)
+    assert (np.asarray(above.idx)[hit] >= 0).all()
+
+    none = intersect_clusters_pallas(
+        scene, o, d, active=jnp.zeros((300,), bool), interpret=True)
+    assert (np.asarray(none.idx) == -1).all()
+
+
+@needs_pallas
+def test_end_to_end_render_with_pallas_flag():
+    from myraytracer_tpu.ops import tracer as tr
+    from myraytracer_tpu.ops.render import render
+    from test_render import mesh_scene
+    from myraytracer_tpu.models.mesh import PHONG
+
+    s = mesh_scene(PHONG, w=20, h=20)
+    data = s.build()
+    a = np.asarray(render(data, s.camera,
+                          cfg=tr.TraceConfig(tri_method="cluster")))
+    b = np.asarray(render(data, s.camera,
+                          cfg=tr.TraceConfig(tri_method="cluster",
+                                             use_pallas_cluster=True)))
+    diff = np.abs(a - b).max(axis=-1)
+    assert (diff < 1e-3).mean() > 0.99
+    assert np.median(diff) < 1e-5
