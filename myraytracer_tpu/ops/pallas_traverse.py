@@ -1,28 +1,17 @@
-"""Pallas TPU traversal megakernel.
+"""Pallas threaded-BVH traversal — EXPERIMENTAL, interpret-mode only.
 
-The XLA traversal (ops/traverse.py) is bound by HBM row-gathers inside a
-serial while-loop (~0.3-0.4 Mray/s on office). This kernel keeps the
-whole acceleration structure resident in VMEM and replaces every HBM
-gather with Mosaic's ``tpu.dynamic_gather``:
+Design study kept for the record: the threaded-BVH walk with all tables
+VMEM-resident and every fetch expressed as Mosaic's in-register
+``tpu.dynamic_gather`` (``take_along_axis`` with idx.shape == x.shape).
+**This does NOT compile on current TPUs**: Mosaic's dynamic_gather only
+spans a single vreg along the gather dimension ("Multiple source vregs
+along gather dimension"), i.e. 128 lanes — far smaller than any real
+node table. The finding is what motivated the cluster-scan design
+(ops/cluster.py) and its working Pallas form (ops/pallas_cluster.py),
+which need no gathers at all.
 
-  layout    all tables transposed to [components, W] with the *node /
-            triangle id on the lane axis*; ray state lives as [rows, W]
-            vectors with the ray id on the lane axis;
-  gather    Mosaic lowers ``jnp.take_along_axis(x, idx, axis=1)`` with
-            idx.shape == x.shape to a native in-register dynamic gather —
-            broadcasting the per-ray node pointer across the component
-            rows fetches a whole node record ([8, W]) in ONE op;
-  octants   entry/skip links for all 8 direction octants are fetched the
-            same way, then the per-ray octant row is selected with an
-            axis-0 dynamic gather;
-  tiling    the grid runs over ray tiles of width W (W = table width, so
-            the gather's mandatory out-width is fully used).
-
-W is the common padded width of the node and triangle tables (>= both,
-multiple of 512). VMEM use: nodes 8W + links 32W + tris 9W floats — an
-office-scale scene is ~3 MB.
-
-Correctness is pinned to the XLA walk by tests/test_pallas.py.
+Correct under interpret=True (tests/test_pallas.py); not reachable from
+the production tracer.
 """
 
 from __future__ import annotations
