@@ -247,6 +247,14 @@ def scene_06_mask(scale: float = 1.0) -> Scene:
     s.ambience = (0.12, 0.1, 0.09)
     s.background = (0, 0, 0)
     v, f = _blob(1.0, 48, 48, seed=11, bump=0.10, squash=(0.72, 1.05, 0.55))
+    # carve eye sockets, nose ridge and a mouth line into the front side
+    front = v[:, 2] > 0
+    for cx, cy, amp, sx, sy in [(-0.26, 0.28, 0.16, 0.10, 0.07),   # eyes
+                                (0.26, 0.28, 0.16, 0.10, 0.07),
+                                (0.0, -0.52, 0.10, 0.22, 0.045),   # mouth
+                                (0.0, -0.05, -0.08, 0.07, 0.22)]:  # nose (out)
+        g = np.exp(-(((v[:, 0] - cx) / sx) ** 2 + ((v[:, 1] - cy) / sy) ** 2))
+        v[:, 2] -= np.where(front, amp * g, 0.0).astype(np.float32)
     # face the camera, tilt like the golden
     v = shapes.transformed(v, rotate_y=0.5)
     s.add_mesh(TriangleMesh(v, f, material=Material(
