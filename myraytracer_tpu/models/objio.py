@@ -13,7 +13,7 @@ OFF is the other format course meshes ship in; supported for parity.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import numpy as np
 

@@ -17,7 +17,7 @@ so ``jax.grad`` flows into it with no extra machinery.
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Optional, Tuple
+from typing import List, Tuple
 
 import jax
 import jax.numpy as jnp

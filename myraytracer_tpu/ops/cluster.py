@@ -50,11 +50,6 @@ def build_clusters(bvh, leaf_order_tris: int, m: int = CLUSTER_M):
 
     out = []
 
-    def subtree_count(n):
-        # total tris under node n = width of its range; ranges are
-        # contiguous by construction
-        return _range_of(n)[1]
-
     def _range_of(n):
         # (first, count) for any node: leaves store it; internal nodes
         # span [left child's first, right child's end)

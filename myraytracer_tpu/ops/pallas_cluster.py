@@ -185,7 +185,6 @@ def intersect_clusters_pallas(
     if cl_const is None:
         cl_const = pack_cluster_constants(scene)
 
-    K = scene.cl_first.shape[0]
     M = scene.cl_M
     inv_d = 1.0 / d
     t0 = jnp.full((R,), isx.INF) if t_max is None else jnp.asarray(t_max)

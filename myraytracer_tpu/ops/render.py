@@ -22,7 +22,6 @@ Everything is jit-compiled once per (scene shapes, camera size, config).
 from __future__ import annotations
 
 import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
