@@ -1,15 +1,24 @@
-"""Pallas traversal kernel agrees with the XLA threaded-BVH walk.
+"""Pallas traversal design study agrees with the XLA threaded-BVH walk.
 
-Runs in interpret mode on the CPU test backend; the same kernel compiles
-via Mosaic on a real TPU.
+The kernel under test lives in tools/studies/ (interpret-mode only — it
+does not compile via Mosaic on real TPUs; see its module docstring). The
+test runs in interpret mode on the CPU backend and exists to keep the
+recorded negative result honest.
 """
+
+import os
+import sys
 
 import jax.numpy as jnp
 import numpy as np
 import pytest
 
+sys.path.insert(0, os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "tools", "studies"))
+
 from myraytracer_tpu.ops import traverse
-from myraytracer_tpu.ops.pallas_traverse import (
+from pallas_traverse import (
     PALLAS_OK, traverse_bvh_pallas, scene_fits_vmem,
 )
 from test_bvh import random_tris, _scene_with_tris
