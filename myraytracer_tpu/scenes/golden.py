@@ -237,26 +237,145 @@ def scene_05_cube(scale: float = 1.0) -> Scene:
     return s
 
 
+def _face_mask(res: int = 96):
+    """Sculpted human face mask shell (the o_06 golden is a face, not a blob).
+
+    A parametric (u, v) grid over the face region is lifted onto a convex
+    shell and displaced by anatomical features: brow ridge, recessed eye
+    sockets (with real holes cut so the black background shows through),
+    nose bridge/tip/nostrils, lips with a mouth crease, chin and
+    cheekbone bumps. The top edge gets a jagged hairline cut like the
+    golden's broken rim.
+
+    Returns (verts [N,3], faces [M,3]) in a unit-ish frame: x right,
+    y up, z toward the viewer.
+    """
+
+    def g2(x, y, cx, cy, sx, sy):
+        return np.exp(-(((x - cx) / sx) ** 2 + ((y - cy) / sy) ** 2))
+
+    n = res
+    u = np.linspace(-1.0, 1.0, n)
+    vv = np.linspace(-1.3, 1.05, n)
+    U, V = np.meshgrid(u, vv, indexing="ij")   # U across face, V up face
+
+    # face outline half-width as a function of height: widest at the
+    # cheekbones, tapering to a rounded chin and a slightly narrower crown
+    wv = (0.62
+          - 0.28 * np.clip(-V - 0.25, 0, None) ** 1.6    # taper to chin
+          - 0.10 * np.clip(V - 0.45, 0, None) ** 2)      # slight crown taper
+    X = U * wv
+    Y = V * 0.92
+
+    # convex shell: an ellipsoid-like dome; the rim curls backward so the
+    # silhouette reads as a shell edge, not a flat sheet
+    oval = 1.0 - (U * 0.92) ** 2 - (V / 1.35) ** 2
+    dome = np.sqrt(np.clip(oval, 0.0, None))
+    Z = 0.42 * dome - 0.22 * np.clip(-oval, 0.0, None)
+
+    # --- anatomical displacement field (positive = toward viewer) ---
+    F = np.zeros_like(Z)
+    # forehead: broad smooth dome
+    F += 0.06 * g2(X, Y, 0, 0.62, 0.55, 0.38)
+    # brow ridge: wide bar above the eyes
+    F += 0.055 * g2(X, Y, 0, 0.30, 0.42, 0.085) * (1 - 0.8 * g2(X, Y, 0, 0.30, 0.10, 0.2))
+    # eye sockets: deep recession around each eye
+    for sx in (-1, 1):
+        F -= 0.11 * g2(X, Y, sx * 0.30, 0.17, 0.17, 0.105)
+    # cheekbones
+    for sx in (-1, 1):
+        F += 0.05 * g2(X, Y, sx * 0.42, -0.08, 0.16, 0.16)
+    # nose: bridge rising from between the eyes, widening to the tip
+    nose_prof = np.clip((0.30 - Y) / 0.62, 0, 1)          # 0 at brow, 1 at tip
+    nose_amp = 0.05 + 0.13 * nose_prof ** 1.5
+    nose_w = 0.05 + 0.045 * nose_prof
+    nose_band = np.exp(-(X / nose_w) ** 2)
+    # smooth vertical envelope: full strength on the bridge, fading in
+    # above the brow and below the tip (no hard cutoff -> no dark wedge)
+    env = (1.0 / (1.0 + np.exp((Y - 0.32) / 0.04))
+           * 1.0 / (1.0 + np.exp((-0.36 - Y) / 0.035)))
+    F += nose_amp * nose_band * env
+    # nose tip ball + nostril flares
+    F += 0.06 * g2(X, Y, 0, -0.30, 0.075, 0.06)
+    for sx in (-1, 1):
+        F += 0.035 * g2(X, Y, sx * 0.10, -0.33, 0.042, 0.04)
+        F -= 0.012 * g2(X, Y, sx * 0.06, -0.375, 0.025, 0.022)  # nostril shadow
+    # philtrum groove
+    F -= 0.015 * g2(X, Y, 0, -0.47, 0.035, 0.06)
+    # lips: upper and lower ridges with a crease between
+    F += 0.04 * g2(X, Y, 0, -0.55, 0.17, 0.035)
+    F -= 0.016 * g2(X, Y, 0, -0.585, 0.15, 0.02)               # mouth line
+    F += 0.042 * g2(X, Y, 0, -0.63, 0.13, 0.04)
+    # chin
+    F += 0.06 * g2(X, Y, 0, -0.88, 0.20, 0.14)
+    # temples recess slightly
+    for sx in (-1, 1):
+        F -= 0.03 * g2(X, Y, sx * 0.60, 0.42, 0.14, 0.2)
+
+    # features fade near the rim so the shell edge stays clean
+    rim = np.clip((np.abs(U) - 0.78) / 0.22, 0, 1)
+    Z = Z + F * (1 - rim ** 2) * dome ** 0.25
+
+    verts = np.stack([X, Y, Z], axis=-1).reshape(-1, 3).astype(np.float32)
+
+    # grid faces
+    faces = []
+    for i in range(n - 1):
+        for j in range(n - 1):
+            a = i * n + j
+            b = a + 1
+            c = a + n
+            d = c + 1
+            faces.append([a, c, b])
+            faces.append([b, c, d])
+    faces = np.asarray(faces, np.int32)
+
+    # --- cuts: eye holes + jagged hairline ---
+    cent = verts[faces].mean(axis=1)
+    # outline cut: only keep cells on the shell (inside the face oval)
+    oval_f = oval.reshape(-1)
+    keep = np.all(oval_f[faces] > -0.16, axis=1)
+    for sx in (-1, 1):
+        ex = (cent[:, 0] - sx * 0.30) / 0.105
+        ey = (cent[:, 1] - 0.175) / 0.048
+        keep &= (ex ** 2 + ey ** 2) > 1.0
+    # jagged top edge: irregular zigzag threshold on face height
+    rng = np.random.default_rng(17)
+    n_teeth = 9
+    knots = rng.uniform(-0.10, 0.03, n_teeth + 1).astype(np.float32)
+    tpos = (cent[:, 0] / 1.3 + 0.5) * n_teeth
+    k0 = np.clip(tpos.astype(np.int32), 0, n_teeth - 1)
+    frac = tpos - k0
+    zig = 1 - np.abs(2 * frac - 1)                 # triangle wave per tooth
+    jag = knots[k0] * (1 - zig) + (knots[k0] + 0.06) * zig
+    keep &= cent[:, 1] < (0.86 + jag)
+    faces = faces[keep]
+
+    # drop unreferenced vertices
+    used = np.unique(faces)
+    remap = np.full(len(verts), -1, np.int64)
+    remap[used] = np.arange(len(used))
+    return verts[used], remap[faces].astype(np.int32)
+
+
 def scene_06_mask(scale: float = 1.0) -> Scene:
-    """Smooth skin-toned Phong 'mask' mesh floating on black."""
+    """Sculpted skin-toned Phong face mask floating on black
+    (/root/reference/outputs/o_06_mask.png)."""
     s = Scene()
-    s.set_camera(eye=(0.4, 0.4, 4.4), center=(0, 0, 0), up=(0, 1, 0),
+    s.set_camera(eye=(0.25, 0.35, 4.3), center=(0, 0, 0), up=(0, 1, 0),
                  fovy=42, width=int(500 * scale), height=int(500 * scale))
-    s.add_light((3, 4, 5), (0.8, 0.75, 0.7))
-    s.add_light((-4, 1, 2), (0.15, 0.13, 0.12))
+    s.add_light((3, 4, 5), (0.85, 0.78, 0.72))
+    s.add_light((-4, 1, 2), (0.18, 0.15, 0.13))
+    s.add_light((0.5, -2.5, 5), (0.10, 0.08, 0.07))   # fill from below
     s.ambience = (0.12, 0.1, 0.09)
     s.background = (0, 0, 0)
-    v, f = _blob(1.0, 48, 48, seed=11, bump=0.10, squash=(0.72, 1.05, 0.55))
-    # carve eye sockets, nose ridge and a mouth line into the front side
-    front = v[:, 2] > 0
-    for cx, cy, amp, sx, sy in [(-0.26, 0.28, 0.16, 0.10, 0.07),   # eyes
-                                (0.26, 0.28, 0.16, 0.10, 0.07),
-                                (0.0, -0.52, 0.10, 0.22, 0.045),   # mouth
-                                (0.0, -0.05, -0.08, 0.07, 0.22)]:  # nose (out)
-        g = np.exp(-(((v[:, 0] - cx) / sx) ** 2 + ((v[:, 1] - cy) / sy) ** 2))
-        v[:, 2] -= np.where(front, amp * g, 0.0).astype(np.float32)
-    # face the camera, tilt like the golden
-    v = shapes.transformed(v, rotate_y=0.5)
+    v, f = _face_mask(res=110)
+    v = v * np.float32(1.45)
+    # tilt like the golden: leaning left, facing slightly right-down
+    cz, szn = np.cos(-0.30), np.sin(-0.30)
+    rot_z = np.float32([[cz, -szn, 0], [szn, cz, 0], [0, 0, 1]])
+    v = (v @ rot_z.T).astype(np.float32)
+    v = shapes.transformed(v, rotate_y=0.38, translate=(0.05, 0.05, 0))
     s.add_mesh(TriangleMesh(v, f, material=Material(
         ambient=(0.35, 0.2, 0.15), diffuse=(0.75, 0.45, 0.32),
         specular=(0.25, 0.2, 0.18), shininess=25), draw_mode=PHONG))
