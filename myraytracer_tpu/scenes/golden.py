@@ -68,27 +68,116 @@ def _tess_quad(p0, p1, p3, res_u, res_v):
     return verts, np.asarray(faces, np.int32)
 
 
-def _sand_texture(w=256, h=128, seed=3):
+def _sand_texture(w=768, h=384, seed=3):
+    """Fine-grained sandy ground: multi-octave value noise + speckle."""
     rng = np.random.default_rng(seed)
-    base = np.float32([0.65, 0.52, 0.36])
-    noise = rng.normal(0, 0.06, (h, w, 1)).astype(np.float32)
-    grain = rng.normal(0, 0.03, (h, w, 3)).astype(np.float32)
-    return np.clip(base + noise + grain, 0, 1)
+    base = np.float32([0.62, 0.50, 0.35])
+    acc = np.zeros((h, w), np.float32)
+    for cells, amp in [(12, 0.05), (48, 0.04), (192, 0.03)]:
+        coarse = rng.normal(0, 1, (cells + 1, cells * 2 + 1)).astype(np.float32)
+        ys = np.linspace(0, cells, h)
+        xs = np.linspace(0, cells * 2, w)
+        yi = np.clip(ys.astype(int), 0, cells - 1)
+        xi = np.clip(xs.astype(int), 0, cells * 2 - 1)
+        fy = (ys - yi)[:, None]
+        fx = (xs - xi)[None, :]
+        c00 = coarse[yi][:, xi]
+        c01 = coarse[yi][:, xi + 1]
+        c10 = coarse[yi + 1][:, xi]
+        c11 = coarse[yi + 1][:, xi + 1]
+        acc += amp * ((1 - fy) * ((1 - fx) * c00 + fx * c01)
+                      + fy * ((1 - fx) * c10 + fx * c11))
+    grain = rng.normal(0, 0.035, (h, w, 3)).astype(np.float32)
+    tex = base + acc[..., None] + grain
+    # scattered darker pebbles
+    n_peb = 900
+    py = rng.integers(0, h, n_peb)
+    px = rng.integers(0, w, n_peb)
+    tex[py, px] *= rng.uniform(0.55, 0.85, (n_peb, 1)).astype(np.float32)
+    return np.clip(tex, 0, 1)
 
 
-def _starfield_texture(w=512, h=256, seed=5):
+def _starfield_texture(w=1024, h=512, seed=5):
+    """Night sky: blue gradient + dense stars + a milky-way band."""
     rng = np.random.default_rng(seed)
     sky = np.zeros((h, w, 3), np.float32)
-    grad = np.linspace(0.25, 0.02, h, dtype=np.float32)[:, None]
-    sky[..., 2] = grad[:, :] * 1.2 + 0.05
-    sky[..., 1] = grad[:, :] * 0.6
-    sky[..., 0] = grad[:, :] * 0.35
-    n_stars = 1500
-    xs = rng.integers(0, w, n_stars)
-    ys = rng.integers(0, h, n_stars)
-    mag = rng.uniform(0.3, 1.0, n_stars).astype(np.float32)
-    sky[ys, xs] = np.clip(sky[ys, xs] + mag[:, None], 0, 1)
-    return sky
+    grad = np.linspace(0.42, 0.10, h, dtype=np.float32)[:, None]
+    sky[..., 2] = grad * 1.5 + 0.10
+    sky[..., 1] = grad * 0.75 + 0.02
+    sky[..., 0] = grad * 0.40
+    # milky-way: a wide diagonal band of faint cloudy brightness
+    ys, xs = np.mgrid[0:h, 0:w].astype(np.float32)
+    band_c = 0.30 * h + 0.25 * (xs - w / 2)         # diagonal center line
+    band = np.exp(-(((ys - band_c) / (0.16 * h)) ** 2))
+    cloud = rng.normal(0, 1, (h // 8 + 1, w // 8 + 1)).astype(np.float32)
+    cloud = np.repeat(np.repeat(cloud, 8, 0), 8, 1)[:h, :w]
+    cloud = (cloud + np.roll(cloud, 3, 0) + np.roll(cloud, 5, 1)) / 3
+    sky += (0.10 * band * (1.0 + 0.5 * cloud))[..., None] * np.float32(
+        [0.75, 0.85, 1.0])
+    # stars: many faint, few bright, denser inside the band
+    for n_stars, lo, hi in [(5200, 0.12, 0.4), (900, 0.4, 0.95)]:
+        xsr = rng.integers(0, w, n_stars)
+        ysr = rng.integers(0, h, n_stars)
+        keep = rng.uniform(0, 1, n_stars) < (0.45 + 0.55 * band[ysr, xsr])
+        xsr, ysr = xsr[keep], ysr[keep]
+        mag = rng.uniform(lo, hi, xsr.size).astype(np.float32)
+        tint = np.stack([mag * rng.uniform(0.85, 1.0, xsr.size),
+                         mag * rng.uniform(0.9, 1.0, xsr.size),
+                         mag], 1).astype(np.float32)
+        sky[ysr, xsr] = np.clip(sky[ysr, xsr] + tint, 0, 1)
+    return np.clip(sky, 0, 1)
+
+
+# --- compound-creature modeling helpers (o_10) ------------------------------
+
+def _rot_xyz(v, rx=0.0, ry=0.0, rz=0.0):
+    """Rotate [N,3] verts by Rx then Ry then Rz (radians)."""
+    if rx:
+        c, s = np.cos(rx), np.sin(rx)
+        v = v @ np.float32([[1, 0, 0], [0, c, -s], [0, s, c]]).T
+    if ry:
+        c, s = np.cos(ry), np.sin(ry)
+        v = v @ np.float32([[c, 0, s], [0, 1, 0], [-s, 0, c]]).T
+    if rz:
+        c, s = np.cos(rz), np.sin(rz)
+        v = v @ np.float32([[c, -s, 0], [s, c, 0], [0, 0, 1]]).T
+    return v.astype(np.float32)
+
+
+def _ell(center, radii, n=16, rx=0.0, ry=0.0, rz=0.0, taper=0.0):
+    """Ellipsoid part; taper>0 narrows the +y end (cones, ears, horns)."""
+    v, f = shapes.uv_sphere(1.0, n, n)
+    if taper:
+        tfac = 1.0 - taper * np.clip(v[:, 1], 0, 1)
+        v = v * np.stack([tfac, np.ones_like(tfac), tfac], 1)
+    v = v * np.float32(radii)
+    v = _rot_xyz(v, rx, ry, rz) + np.float32(center)
+    return v.astype(np.float32), f
+
+
+class _Parts:
+    """Accumulates mesh parts per material, merging on emit."""
+
+    def __init__(self, scene: Scene):
+        self.scene = scene
+        self.groups: dict = {}
+
+    def add(self, mat_key, mat, vf):
+        self.groups.setdefault(mat_key, (mat, []))[1].append(vf)
+
+    def emit(self, translate=(0, 0, 0), ry=0.0):
+        for mat, parts in self.groups.values():
+            v, f = shapes.merge(*parts)
+            v = shapes.transformed(v, rotate_y=ry, translate=translate)
+            self.scene.add_mesh(TriangleMesh(v, f, material=mat,
+                                             draw_mode=PHONG))
+        self.groups.clear()
+
+
+def _creature_mat(col, spec=0.25, shin=30):
+    return Material(ambient=tuple(0.4 * k for k in col),
+                    diffuse=tuple(0.65 * k for k in col),
+                    specular=(spec,) * 3, shininess=shin)
 
 
 # ---------------------------------------------------------------------------
@@ -608,30 +697,110 @@ def scene_10_pokemon(scale: float = 1.0) -> Scene:
         (-14, 0, 10), (14, 0, 10), (14, 0, -6), (-14, 0, -6))
     s.add_mesh(TriangleMesh(g, gf, uv_indices=guvi, u_coords=np.tile(gu, 1),
                             v_coords=gv, texture=_sand_texture(),
-                            material=Material(ambient=(0.5, 0.45, 0.38),
+                            material=Material(ambient=(0.28, 0.24, 0.19),
                                               diffuse=(0.6, 0.52, 0.4)),
                             draw_mode=FLAT))
-    # starfield backdrop quad
+    # starfield backdrop quad: near-zero flat ambient so the texel (which
+    # overrides diffuse) carries the whole sky through the light term
     b, bf, buvi, bu, bv = shapes.plane_uv_quad(
         (-16, 0, -6), (16, 0, -6), (16, 12, -6), (-16, 12, -6))
     s.add_mesh(TriangleMesh(b, bf, uv_indices=buvi, u_coords=bu, v_coords=bv,
-                            texture=_starfield_texture(),
-                            material=Material(ambient=(1.0, 1.0, 1.0),
-                                              diffuse=(0.0, 0.0, 0.0),
+                            texture=np.clip(_starfield_texture() * 1.7, 0, 1),
+                            material=Material(ambient=(0.02, 0.03, 0.08),
+                                              diffuse=(1.0, 1.0, 1.0),
                                               shadowable=False),
                             draw_mode=FLAT))
 
-    # three creatures: gray quadruped-ish, small yellow, dark one
-    for seed, cx, h, col, spec in [
-        (31, -2.2, 1.15, (0.75, 0.75, 0.78), 0.3),
-        (32, 0.1, 0.6, (0.9, 0.85, 0.2), 0.2),
-        (33, 2.1, 0.95, (0.16, 0.16, 0.18), 0.45),
-    ]:
-        v, f = _blob(h * 0.55, 28, 32, seed=seed, bump=0.3, squash=(0.9, 1.25, 0.8))
-        v = shapes.transformed(v, translate=(cx, h * 0.62, 0))
-        s.add_mesh(TriangleMesh(v, f, material=Material(
-            ambient=tuple(0.4 * k for k in col), diffuse=tuple(0.65 * k for k in col),
-            specular=(spec,) * 3, shininess=35), draw_mode=PHONG))
+    # three articulated creatures (bodies, heads, ears, legs, tails — the
+    # golden shows creatures, not blobs) + a small dark floater in the sky
+    parts = _Parts(s)
+    white = _creature_mat((0.78, 0.78, 0.82), spec=0.3)
+    dkgray = _creature_mat((0.28, 0.28, 0.34), spec=0.35)
+    yellow = _creature_mat((0.92, 0.84, 0.18), spec=0.2)
+    black = _creature_mat((0.12, 0.12, 0.14), spec=0.45, shin=60)
+    ring_y = _creature_mat((0.95, 0.82, 0.1), spec=0.3)
+
+    # -- left: white quadruped with a curved head blade and bushy tail --
+    parts.add("w", white, _ell((0, 0.95, 0), (0.62, 0.40, 0.32), n=20))
+    parts.add("w", white, _ell((0.55, 1.2, 0), (0.3, 0.32, 0.24),
+                               rz=-0.5))                       # chest/neck
+    parts.add("w", white, _ell((0.82, 1.52, 0), (0.26, 0.21, 0.19)))  # head
+    parts.add("g", dkgray, _ell((0.95, 1.47, 0), (0.16, 0.12, 0.14)))  # face
+    # curved horn: a crescent blade sweeping back from the side of the head
+    for k in range(6):
+        t = k / 5.0
+        th = 1.25 - 1.5 * t                     # sweep front-top -> back
+        px = 0.82 + 0.38 * np.cos(th) - 0.25
+        py = 1.58 + 0.34 * np.sin(th)
+        parts.add("g", dkgray, _ell(
+            (px, py, 0.14), (0.14 - 0.012 * k, 0.05 - 0.005 * k, 0.02),
+            rz=th - 1.3, n=10))
+    # legs (slightly splayed) + gray claws
+    for lx, lz in [(0.42, 0.17), (0.42, -0.17), (-0.42, 0.17), (-0.42, -0.17)]:
+        parts.add("w", white, _ell((lx, 0.42, lz), (0.1, 0.45, 0.1), n=12))
+        parts.add("g", dkgray, _ell((lx, 0.08, lz), (0.12, 0.09, 0.14), n=10))
+    # bushy tail: tapered crescent up-back
+    parts.add("g", dkgray, _ell((-0.72, 1.35, 0), (0.12, 0.42, 0.07),
+                                rz=0.55, taper=0.6, n=12))
+    # shaggy chest fur hint
+    parts.add("w", white, _ell((0.35, 0.72, 0), (0.3, 0.24, 0.26), n=12))
+    parts.emit(translate=(-2.3, 0.0, 0.1), ry=0.12)
+
+    # -- middle: small yellow biped with huge ears, facing the camera --
+    parts.add("y", yellow, _ell((0, 0.30, 0), (0.24, 0.27, 0.21), n=16))
+    parts.add("y", yellow, _ell((0, 0.66, 0), (0.235, 0.215, 0.20), n=16))
+    for sx in (-1, 1):
+        # big triangular ears, black tips
+        parts.add("y", yellow, _ell((sx * 0.17, 0.95, 0), (0.10, 0.24, 0.05),
+                                    rz=-sx * 0.45, taper=0.55, n=12))
+        parts.add("k", black, _ell((sx * 0.275, 1.12, 0), (0.075, 0.115, 0.04),
+                                   rz=-sx * 0.45, taper=0.5, n=10))
+        # stub arms + feet
+        parts.add("y", yellow, _ell((sx * 0.2, 0.32, 0.1), (0.06, 0.12, 0.06),
+                                    rz=-sx * 0.5, n=8))
+        parts.add("y", yellow, _ell((sx * 0.11, 0.045, 0.1),
+                                    (0.08, 0.05, 0.13), n=8))
+    # cheeks (darker patches) + tiny black eyes, proud of the head surface
+    for sx in (-1, 1):
+        parts.add("p", _creature_mat((0.75, 0.45, 0.5)), _ell(
+            (sx * 0.16, 0.60, 0.16), (0.055, 0.045, 0.03), n=8))
+        parts.add("k", black, _ell((sx * 0.09, 0.71, 0.185),
+                                   (0.026, 0.038, 0.02), n=8))
+    parts.emit(translate=(0.1, 0.0, 0.55), ry=0.0)
+
+    # -- right: black quadruped with ringed ears and tail, facing left --
+    parts.add("k", black, _ell((0, 0.92, 0), (0.5, 0.34, 0.26), n=20))
+    parts.add("k", black, _ell((-0.45, 1.18, 0.05), (0.22, 0.3, 0.2),
+                               rz=0.4))                          # neck
+    parts.add("k", black, _ell((-0.62, 1.45, 0.08), (0.19, 0.17, 0.16)))  # head
+    for sx in (-1, 1):
+        parts.add("k", black, _ell((-0.62 + sx * 0.1, 1.72, 0.08),
+                                   (0.07, 0.2, 0.045), rz=-sx * 0.35,
+                                   taper=0.5, n=10))             # ears
+        parts.add("r", ring_y, _ell((-0.62 + sx * 0.085, 1.62, 0.08),
+                                    (0.075, 0.045, 0.05), rz=-sx * 0.35,
+                                    n=8))                        # ear rings
+    parts.add("r", ring_y, _ell((-0.78, 1.47, 0.09), (0.035, 0.045, 0.03),
+                                n=8))                            # forehead ring
+    for lx, lz in [(-0.32, 0.14), (-0.32, -0.14), (0.34, 0.14), (0.34, -0.14)]:
+        parts.add("k", black, _ell((lx, 0.42, lz), (0.085, 0.44, 0.085), n=12))
+        parts.add("r", ring_y, _ell((lx, 0.62, lz), (0.095, 0.05, 0.095),
+                                    n=8))                        # leg rings
+    parts.add("k", black, _ell((0.62, 1.25, 0), (0.09, 0.3, 0.06),
+                               rz=-0.5, taper=0.5, n=10))        # tail
+    parts.add("r", ring_y, _ell((0.55, 1.12, 0), (0.1, 0.05, 0.07),
+                                rz=-0.5, n=8))                   # tail ring
+    parts.emit(translate=(2.25, 0.0, 0.0), ry=-0.15)
+
+    # -- floating dark critter in the sky (top-center of the golden) --
+    parts.add("k", black, _ell((0, 0, 0), (0.17, 0.14, 0.12), n=12))
+    for a in (-1.9, -1.1, -0.5, 0.5, 1.1, 1.9):
+        parts.add("k", black, _ell(
+            (0.2 * np.sin(a), 0.1 * np.cos(a) - 0.08, 0),
+            (0.035, 0.12, 0.025), rz=-a, n=6))
+    parts.add("w2", white, _ell((0, 0.02, 0.1), (0.05, 0.04, 0.03), n=6))
+    parts.emit(translate=(0.15, 3.1, -1.2))
+
     s.max_depth = 2
     return s
 
