@@ -508,7 +508,7 @@ def scene_08_office(scale: float = 1.0, tess: int = 6, resolution=None) -> Scene
     """
     w, h = resolution if resolution else (int(500 * scale), int(500 * scale))
     s = Scene()
-    s.set_camera(eye=(0.0, 1.45, 4.7), center=(0.1, 1.0, 0), up=(0, 1, 0),
+    s.set_camera(eye=(-0.9, 1.55, 4.55), center=(0.35, 1.15, 0), up=(0, 1, 0),
                  fovy=58, width=w, height=h)
     s.add_light((0, 2.55, 2.2), (0.75, 0.75, 0.72))
     s.add_light((-1.6, 2.3, 3.6), (0.45, 0.45, 0.45))
@@ -535,38 +535,76 @@ def scene_08_office(scale: float = 1.0, tess: int = 6, resolution=None) -> Scene
                            shadowable=False)
 
     W, H, D = 6.4, 2.9, 9.0   # room extents
-    # floor / ceiling / side walls (tessellated quads -> real triangles)
+    zw = -2.2                 # window wall plane (front room ends here)
+    # front-room floor / ceiling / side walls (tessellated quads -> real
+    # triangles); they stop at the window wall so the back-room envelope
+    # behind the glass doesn't z-fight them
     for p0, p1, p3, m in [
-        ((-W/2, 0, D/2), (W/2, 0, D/2), (-W/2, 0, -D/2), maroon),          # floor
-        ((-W/2, H, D/2), (W/2, H, D/2), (-W/2, H, -D/2), dark_gray),        # ceiling
-        ((-W/2, 0, D/2), (-W/2, 0, -D/2), (-W/2, H, D/2), white),           # left wall
-        ((W/2, 0, D/2), (W/2, 0, -D/2), (W/2, H, D/2), white),              # right wall
+        ((-W/2, 0, D/2), (W/2, 0, D/2), (-W/2, 0, zw), maroon),            # floor
+        ((-W/2, H, D/2), (W/2, H, D/2), (-W/2, H, zw), dark_gray),          # ceiling
+        ((-W/2, 0, D/2), (-W/2, 0, zw), (-W/2, H, D/2), white),             # left wall
+        ((W/2, 0, D/2), (W/2, 0, zw), (W/2, H, D/2), white),                # right wall
     ]:
         v, f = _tess_quad(p0, p1, p3, 2 * T, 2 * T)
         s.add_mesh(TriangleMesh(v, f, material=m, draw_mode=FLAT))
 
-    # window wall at z = -2.2 : dark frame grid + bright back room
-    zw = -2.2
-    add_box((W, 0.55, 0.12), (0, 0.27, zw), dark_gray, t=T // 2 + 1)
-    add_box((W, 0.5, 0.12), (0, H - 0.25, zw), dark_gray, t=T // 2 + 1)
+    # window wall at z = -2.2 : dark frame grid, open panes to the back room
+    add_box((W, 0.54, 0.12), (0, 0.285, zw), dark_gray, t=T // 2 + 1)
+    add_box((W, 0.49, 0.12), (0, H - 0.255, zw), dark_gray, t=T // 2 + 1)
     for x in (-W/2 + 0.18, -0.05, W/2 - 0.18):
-        add_box((0.22, H, 0.12), (x, H/2, zw), dark_gray)
+        add_box((0.22, H - 0.02, 0.12), (x, H/2, zw), dark_gray)
     add_box((W, 0.16, 0.12), (0, 2.05, zw), dark_gray)
-    # glass panes -> bright back-room quads slightly behind
-    v, f = _tess_quad((-W/2, 0.5, zw - 0.4), (W/2, 0.5, zw - 0.4), (-W/2, H, zw - 0.4), T, T)
-    s.add_mesh(TriangleMesh(v, f, material=glass_white, draw_mode=FLAT))
-    # back room suggestion: cabinets + a desk silhouette
-    add_box((2.2, 1.8, 0.4), (1.6, 0.9, zw - 2.2), yellow, t=T // 2 + 1)
-    add_box((1.6, 0.7, 0.8), (-1.2, 0.5, zw - 2.0), dark_gray)
+    # --- visible back room behind the glass (the golden shows a lit room
+    # with its own cabinets, desk, chair and doors through the window) ---
+    zb = zw - 3.4                                  # back room rear wall
+    # back room envelope: the golden's back room is brightly lit on its
+    # own; the scene lights sit in the front room, so these surfaces are
+    # ambient-heavy (self-lit look) instead of adding a third light that
+    # would inflate the benchmark's shadow-query cost
+    bright = Material(ambient=(1.65, 1.65, 1.7), diffuse=(0.28, 0.28, 0.3),
+                      shadowable=False)
+    bfloor = Material(ambient=(0.95, 0.95, 1.0), diffuse=(0.25, 0.25, 0.27),
+                      shadowable=False)
+    v, f = _tess_quad((-W/2, 0, zw), (-W/2, 0, zb), (-W/2, H, zw), T, T)
+    s.add_mesh(TriangleMesh(v, f, material=bright, draw_mode=FLAT))
+    v, f = _tess_quad((W/2, 0, zw), (W/2, 0, zb), (W/2, H, zw), T, T)
+    s.add_mesh(TriangleMesh(v, f, material=bright, draw_mode=FLAT))
+    v, f = _tess_quad((-W/2, 0.0, zb), (W/2, 0.0, zb), (-W/2, H, zb), T, T)
+    s.add_mesh(TriangleMesh(v, f, material=bright, draw_mode=FLAT))
+    v, f = _tess_quad((-W/2, 0, zw), (W/2, 0, zw), (-W/2, 0, zb), T, T)
+    s.add_mesh(TriangleMesh(v, f, material=bfloor, draw_mode=FLAT))
+    v, f = _tess_quad((-W/2, H, zw), (W/2, H, zw), (-W/2, H, zb), T, T)
+    s.add_mesh(TriangleMesh(v, f, material=bright, draw_mode=FLAT))
+    # back-room furniture: cabinet row with seams, a desk, a blue chair,
+    # and two door frames on the rear wall
+    for ix in range(3):
+        add_box((0.72, 1.75, 0.35), (0.85 + ix * 0.78, 0.88, zb + 0.25),
+                yellow, t=T // 2 + 1)
+        add_box((0.015, 1.75, 0.37), (0.85 + ix * 0.78 - 0.37, 0.88, zb + 0.25),
+                dark_gray)
+    add_box((1.5, 0.12, 0.7), (-1.3, 0.85, zb + 0.85), glass_white)
+    add_box((0.1, 0.78, 0.1), (-1.3, 0.4, zb + 0.85), dark_gray)
+    _chair(s, (-1.75, 0, zb + 1.5), 0.9,
+           Material(ambient=(0.1, 0.1, 0.4), diffuse=(0.2, 0.2, 0.75)),
+           dark_gray, T)
+    add_box((0.9, 2.1, 0.06), (-2.5, 1.05, zb + 0.05), dark_gray)
 
-    # cabinet wall on the right (doors + dark handles)
+    # cabinet wall on the right: doors with visible seams + dark handles
     for iy in range(2):
         for ix in range(4):
             cz = 0.35 + ix * 1.12
             add_box((0.55, 1.28, 1.05), (W/2 - 0.45, 0.72 + iy * 1.34, cz),
                     yellow, t=T // 2 + 1)
-            add_box((0.05, 0.16, 0.05), (W/2 - 0.76, 0.72 + iy * 1.34, cz - 0.48),
+            # horizontal seam between the two door rows + vertical seams
+            add_box((0.57, 0.02, 1.07), (W/2 - 0.45, 0.72 + iy * 1.34 - 0.64, cz),
                     dark_gray)
+            add_box((0.57, 1.30, 0.02), (W/2 - 0.45, 0.72 + iy * 1.34, cz - 0.53),
+                    dark_gray)
+            # handle knobs proud of the door face
+            v, f = shapes.uv_sphere(0.035, 6, 8,
+                                    center=(W/2 - 0.74, 0.72 + iy * 1.34,
+                                            cz - 0.40))
+            s.add_mesh(TriangleMesh(v, f, material=dark_gray, draw_mode=PHONG))
 
     # green sideboard under the window
     add_box((W - 1.0, 0.85, 0.6), (0, 0.43, zw + 0.45), green, t=T // 2 + 1)
@@ -634,24 +672,45 @@ def _desk(tess=48):
 
 
 def _chair(s: Scene, pos, rot, seat_mat, post_mat, t):
-    """Simple office chair: seat, back, post, base star."""
+    """Office swivel chair: cushioned seat, tilted backrest with lumbar
+    curve, armrests, gas-lift column, 5-spoke star base with casters."""
     px, py, pz = pos
 
     def put(v, f, m, mode=FLAT):
         v = shapes.transformed(v, rotate_y=rot, translate=(px, py, pz))
         s.add_mesh(TriangleMesh(v, f, material=m, draw_mode=mode))
 
-    v, f = _tess_box((0.52, 0.09, 0.5), (0, 0.52, 0), max(2, t // 2))
+    tt = max(2, t // 2)
+    # seat cushion (slightly domed top via two stacked boxes)
+    v, f = _tess_box((0.52, 0.07, 0.5), (0, 0.50, 0), tt)
     put(v, f, seat_mat)
-    v, f = _tess_box((0.5, 0.62, 0.08), (0, 0.95, -0.25), max(2, t // 2))
+    v, f = _tess_box((0.46, 0.04, 0.44), (0, 0.555, 0.01), tt)
     put(v, f, seat_mat)
-    v, f = shapes.cylinder(0.035, 0.5, 8, center=(0, 0.26, 0))
+    # backrest: tilted back ~10 deg, with a lumbar pad proud of it
+    v, f = _tess_box((0.48, 0.66, 0.07), (0, 0.92, -0.28), tt)
+    v = _rot_xyz(v - np.float32([0, 0.60, -0.28]), rx=-0.18) + np.float32(
+        [0, 0.60, -0.28])
+    put(v, f, seat_mat)
+    v, f = _tess_box((0.40, 0.22, 0.05), (0, 0.78, -0.23), tt)
+    put(v, f, seat_mat)
+    # armrests: vertical supports + horizontal pads
+    for sx in (-1, 1):
+        v, f = shapes.box((0.05, 0.26, 0.05), (sx * 0.29, 0.60, 0.05))
+        put(v, f, post_mat)
+        v, f = shapes.box((0.07, 0.04, 0.34), (sx * 0.29, 0.74, 0.0))
+        put(v, f, post_mat)
+    # gas-lift column
+    v, f = shapes.cylinder(0.035, 0.42, 10, center=(0, 0.28, 0))
     put(v, f, post_mat, PHONG)
+    # 5-spoke star base with caster knobs
     for k in range(5):
-        a = 2 * np.pi * k / 5
-        v, f = shapes.box((0.3, 0.04, 0.06), (0.15, 0.03, 0))
+        a = 2 * np.pi * k / 5 + 0.3
+        v, f = shapes.box((0.30, 0.035, 0.055), (0.17, 0.045, 0))
         v = shapes.transformed(v, rotate_y=a)
         put(v, f, post_mat)
+        cx, cz = 0.30 * np.cos(-a), 0.30 * np.sin(-a)
+        v, f = shapes.uv_sphere(0.035, 6, 8, center=(cx, 0.035, cz))
+        put(v, f, post_mat, PHONG)
 
 
 def scene_09_rings(scale: float = 1.0, seg: int = 64) -> Scene:
