@@ -111,6 +111,34 @@ def main() -> None:
     }
     _state["result"] = result
 
+    # Kick off the fwd+bwd compile in a background thread so the two
+    # remote compiles overlap (the compile service dominates wall time);
+    # if the service serializes them nothing is lost.
+    fb_compiled = {}
+    fb_done = None
+    if os.environ.get("BENCH_FWD_ONLY") != "1":
+        import threading
+
+        fb_done = threading.Event()
+
+        def _compile_fb():
+            t0 = time.perf_counter()
+            try:
+                fb_compiled["exe"] = (
+                    render_loss_grad_image.lower(scene, sc.camera, target)
+                    .compile())
+                fb_compiled["s"] = time.perf_counter() - t0
+            except Exception as e:  # fall back to plain jit call later
+                fb_compiled["err"] = f"{type(e).__name__}: {e}"
+            sys.stderr.write(
+                f"bench: fwd+bwd AOT compile finished in "
+                f"{time.perf_counter() - t0:.1f}s "
+                f"({'ok' if 'exe' in fb_compiled else fb_compiled.get('err')})\n")
+            sys.stderr.flush()
+            fb_done.set()
+
+        threading.Thread(target=_compile_fb, daemon=True).start()
+
     # ---- forward: compile, then emit a line after EVERY timed run ----
     t0 = time.perf_counter()
     img = render(scene, sc.camera)
@@ -141,8 +169,18 @@ def main() -> None:
         return
 
     # ---- forward + backward (the headline metric) ----
+    # the background AOT compile started before the fwd compile, so
+    # waiting on it always beats starting a fresh compile here
+    if fb_done is not None:
+        fb_done.wait()
+
+    def run_fb():
+        if "exe" in fb_compiled:
+            return fb_compiled["exe"](scene, sc.camera, target)
+        return render_loss_grad_image(scene, sc.camera, target)
+
     t0 = time.perf_counter()
-    loss, grads = render_loss_grad_image(scene, sc.camera, target)
+    loss, grads = run_fb()
     sync(loss)
     sync(grads)
     bwd_compile_s = time.perf_counter() - t0
@@ -153,7 +191,7 @@ def main() -> None:
     fb_times = []
     for i in range(3):
         t0 = time.perf_counter()
-        loss, grads = render_loss_grad_image(scene, sc.camera, target)
+        loss, grads = run_fb()
         sync(loss)
         sync(grads)
         fb_times.append(time.perf_counter() - t0)
