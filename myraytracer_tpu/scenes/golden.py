@@ -307,9 +307,9 @@ def scene_04_molecule(scale: float = 1.0, n_atoms: int = 420) -> Scene:
 def scene_05_cube(scale: float = 1.0) -> Scene:
     """Single flat-shaded cube, blue sides / red top, white background."""
     s = Scene()
-    s.set_camera(eye=(2.4, 2.2, 3.6), center=(0, 0, 0), up=(0, 1, 0),
-                 fovy=38, width=int(500 * scale), height=int(500 * scale))
-    s.add_light((4, 6, 5), (0.8, 0.8, 0.8))
+    s.set_camera(eye=(3.3, 2.0, 4.7), center=(0, -0.05, 0), up=(0, 1, 0),
+                 fovy=36, width=int(500 * scale), height=int(500 * scale))
+    s.add_light((6.5, 3.5, 3.0), (0.8, 0.8, 0.8))
     s.ambience = (0.35, 0.35, 0.35)
     s.background = (1, 1, 1)
     v, f = shapes.box((1.6, 1.6, 1.6))
