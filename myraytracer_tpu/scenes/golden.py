@@ -864,18 +864,24 @@ def scene_10_pokemon(scale: float = 1.0) -> Scene:
     return s
 
 
-#: registry: name -> (builder, uses adaptive AA per the reference outputs)
+#: registry: name -> (builder, adaptive-AA compaction budget as a fraction
+#: of the image). The reference supersamples EVERY pixel whose
+#: 4-neighborhood deviation exceeds 0.02 (mytracer_gpu.cu:195-221); our
+#: static-shape pass covers the top-K by deviation, so K must be >= the
+#: above-threshold count for exact-rule parity. Budgets are per scene,
+#: sized from measured above-threshold fractions with margin
+#: (tests/test_aa_budget.py asserts coverage at the golden resolutions).
 GOLDEN_SCENES = {
-    "o_01_spheres": (scene_01_spheres, True),
-    "o_02_shadow": (scene_02_shadow, True),
-    "o_03_mirror": (scene_03_mirror, True),
-    "o_04_molecule": (scene_04_molecule, True),
-    "o_05_cube": (scene_05_cube, True),
-    "o_06_mask": (scene_06_mask, True),
-    "o_07_toon_faces": (scene_07_toon_faces, True),
-    "o_08_office": (scene_08_office, True),
-    "o_09_rings": (scene_09_rings, True),
-    "o_10_pokemon": (scene_10_pokemon, True),
+    "o_01_spheres": (scene_01_spheres, 0.10),
+    "o_02_shadow": (scene_02_shadow, 0.10),
+    "o_03_mirror": (scene_03_mirror, 0.10),
+    "o_04_molecule": (scene_04_molecule, 0.15),
+    "o_05_cube": (scene_05_cube, 0.10),
+    "o_06_mask": (scene_06_mask, 0.10),
+    "o_07_toon_faces": (scene_07_toon_faces, 0.12),
+    "o_08_office": (scene_08_office, 0.15),
+    "o_09_rings": (scene_09_rings, 0.10),
+    "o_10_pokemon": (scene_10_pokemon, 0.12),
 }
 
 
@@ -901,15 +907,18 @@ def main(argv=None):
     from myraytracer_tpu.utils.image import write_png
 
     os.makedirs(args.out, exist_ok=True)
-    for name, (builder, aa) in GOLDEN_SCENES.items():
+    for name, (builder, aa_budget) in GOLDEN_SCENES.items():
         if args.scene and args.scene not in name:
             continue
         t0 = time.time()
         sc = builder(scale=args.scale)
         data = sc.build()
         t1 = time.time()
-        fn = render if (args.no_aa or not aa) else render_aa
-        img = np.asarray(fn(data, sc.camera))
+        if args.no_aa or not aa_budget:
+            img = np.asarray(render(data, sc.camera))
+        else:
+            img = np.asarray(render_aa(data, sc.camera,
+                                       budget_frac=aa_budget))
         t2 = time.time()
         path = os.path.join(args.out, f"{name}.png")
         write_png(path, img)
