@@ -47,8 +47,14 @@ try:
 except Exception:  # pragma: no cover
     PALLAS_OK = False
 
-#: rays per kernel instance (matches render.BLOCK^2 = 4096)
-RAY_TILE = 4096
+#: rays per kernel instance == the compaction subgroup: each SUB-ray
+#: subgroup gets its OWN touched-cluster list, so the union amplification
+#: of a whole 64x64 screen block (~35 clusters touched vs ~5 needed per
+#: ray) shrinks to the subgroup's much tighter union. The kernel's
+#: per-cluster cost is a DMA + dense VPU batch (no 25us XLA
+#: while-iteration overhead), which is what makes small subgroups
+#: affordable here when they are not in the XLA scan path.
+RAY_TILE = 512
 
 #: ray-chunk rows processed per inner step (bounds VMEM temporaries)
 RCHUNK = 512
@@ -57,15 +63,16 @@ RCHUNK = 512
 def _kernel(order_ref, meta_ref, first_ref, count_ref, o_ref, d_ref,
             t0_ref, act_ref, bb_ref, tris_hbm, t_out, idx_out, buf, sems,
             *, M: int, any_hit: bool):
-    """One ray tile vs the compacted cluster list."""
-    n_touched = meta_ref[0]
+    """One ray subgroup vs its own compacted cluster list."""
+    i = pl.program_id(0)
+    n_touched = meta_ref[i]
     RT = o_ref.shape[0]
 
-    t_out[:] = t0_ref[:]
-    idx_out[:] = jnp.full((RT,), -1, jnp.int32)
+    t_out[0, :] = t0_ref[0, :]
+    idx_out[0, :] = jnp.full((RT,), -1, jnp.int32)
 
     def dma(slot, g):
-        kk = order_ref[g]
+        kk = order_ref[i, g]
         return pltpu.make_async_copy(
             tris_hbm.at[kk], buf.at[slot], sems.at[slot]
         )
@@ -84,7 +91,7 @@ def _kernel(order_ref, meta_ref, first_ref, count_ref, o_ref, d_ref,
 
         dma(slot, g).wait()
 
-        kk = order_ref[g]
+        kk = order_ref[i, g]
         row = bb_ref[kk]                       # [6]
         count = count_ref[kk]
         first = first_ref[kk]
@@ -107,9 +114,9 @@ def _kernel(order_ref, meta_ref, first_ref, count_ref, o_ref, d_ref,
             oc = o_ref[sl, 0:3]                # [RC, 3]
             dc = d_ref[sl, 0:3]
             ivc = 1.0 / dc
-            tb = t_out[sl]
-            ib = idx_out[sl]
-            ac = act_ref[sl]
+            tb = t_out[0, sl]
+            ib = idx_out[0, sl]
+            ac = act_ref[0, sl]
 
             ts0 = (bbmin[None, :] - oc) * ivc
             ts1 = (bbmax[None, :] - oc) * ivc
@@ -149,8 +156,8 @@ def _kernel(order_ref, meta_ref, first_ref, count_ref, o_ref, d_ref,
             j = jnp.argmin(t_tri, axis=1).astype(jnp.int32)
             t_min = jnp.min(t_tri, axis=1)
             better = t_min < tb
-            t_out[sl] = jnp.where(better, t_min, tb)
-            idx_out[sl] = jnp.where(better, first + j, ib)
+            t_out[0, sl] = jnp.where(better, t_min, tb)
+            idx_out[0, sl] = jnp.where(better, first + j, ib)
 
         for c in range(RT // RCHUNK):
             ray_chunk(c)
@@ -193,22 +200,6 @@ def intersect_clusters_pallas(
     cl_bbmin = jax.lax.stop_gradient(scene.cl_bbmin)
     cl_bbmax = jax.lax.stop_gradient(scene.cl_bbmax)
 
-    # ---- phase 1 (XLA): compacted front-to-back order ----
-    box_hit, tmin_k = isx.ray_aabb(
-        o[:, None, :], inv_d[:, None, :], cl_bbmin[None], cl_bbmax[None]
-    )
-    ray_touch = box_hit & (act[:, None] > 0) & (tmin_k <= t0[:, None])
-    touched = jnp.any(ray_touch, axis=0)
-    mean_tmin = jnp.sum(jnp.where(ray_touch, jnp.maximum(tmin_k, 0.0), 0.0), axis=0)
-    mean_tmin = mean_tmin / jnp.maximum(jnp.sum(ray_touch, axis=0), 1)
-    order = jnp.argsort(jnp.where(touched, mean_tmin, isx.INF), stable=True)
-    n_touched = jnp.sum(touched.astype(jnp.int32))
-    order_pad = jnp.concatenate([order.astype(jnp.int32),
-                                 jnp.zeros((2,), jnp.int32)])
-
-    # packed bbox rows [K, 6]; first/count ride as scalar prefetch
-    bb = jnp.concatenate([cl_bbmin, cl_bbmax], axis=1)
-
     n_tiles = (R + RAY_TILE - 1) // RAY_TILE
     Rp = n_tiles * RAY_TILE
     pad = Rp - R
@@ -216,6 +207,39 @@ def intersect_clusters_pallas(
     d4 = jnp.pad(d, ((0, pad), (0, 1)), constant_values=1.0)
     t0p = jnp.pad(t0, (0, pad))
     actp = jnp.pad(act, (0, pad))
+
+    # ---- phase 1 (XLA): PER-SUBGROUP compacted front-to-back orders.
+    # Each RAY_TILE subgroup of spatially-adjacent rays gets its own
+    # touched list; unions are far tighter than the whole screen block's.
+    K = cl_bbmin.shape[0]
+    o_s = o4[:, :3].reshape(n_tiles, RAY_TILE, 3)
+    iv_s = jnp.pad(inv_d, ((0, pad), (0, 0)),
+                   constant_values=1.0).reshape(n_tiles, RAY_TILE, 3)
+    box_hit, tmin_k = isx.ray_aabb(
+        o_s[:, :, None, :], iv_s[:, :, None, :],
+        cl_bbmin[None, None], cl_bbmax[None, None]
+    )                                                    # [S, RT, K]
+    ray_touch = (box_hit & (actp.reshape(n_tiles, RAY_TILE, 1) > 0)
+                 & (tmin_k <= t0p.reshape(n_tiles, RAY_TILE, 1)))
+    touched = jnp.any(ray_touch, axis=1)                 # [S, K]
+    mean_tmin = jnp.sum(
+        jnp.where(ray_touch, jnp.maximum(tmin_k, 0.0), 0.0), axis=1)
+    mean_tmin = mean_tmin / jnp.maximum(jnp.sum(ray_touch, axis=1), 1)
+    order = jnp.argsort(jnp.where(touched, mean_tmin, isx.INF), axis=1,
+                        stable=True)
+    n_touched = jnp.sum(touched.astype(jnp.int32), axis=1)   # [S]
+    order_pad = jnp.concatenate(
+        [order.astype(jnp.int32), jnp.zeros((n_tiles, 2), jnp.int32)],
+        axis=1)
+
+    # packed bbox rows [K, 6]; first/count ride as scalar prefetch
+    bb = jnp.concatenate([cl_bbmin, cl_bbmax], axis=1)
+
+    # 1-D per-ray arrays ride as [n_tiles, RAY_TILE] 2-D blocks: Mosaic's
+    # 1-D block layouts must match XLA's T(1024) tiling, which a 512-ray
+    # subgroup can't; (1, RAY_TILE) rows sidestep the constraint
+    t0_2d = t0p.reshape(n_tiles, RAY_TILE)
+    act_2d = actp.reshape(n_tiles, RAY_TILE)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
@@ -225,18 +249,18 @@ def intersect_clusters_pallas(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((RAY_TILE, 4), lambda i, *_: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((RAY_TILE,), lambda i, *_: (i,),
+            pl.BlockSpec((1, RAY_TILE), lambda i, *_: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((RAY_TILE,), lambda i, *_: (i,),
+            pl.BlockSpec((1, RAY_TILE), lambda i, *_: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(bb.shape, lambda i, *_: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),   # cl_const stays in HBM
         ],
         out_specs=[
-            pl.BlockSpec((RAY_TILE,), lambda i, *_: (i,),
+            pl.BlockSpec((1, RAY_TILE), lambda i, *_: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((RAY_TILE,), lambda i, *_: (i,),
+            pl.BlockSpec((1, RAY_TILE), lambda i, *_: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
@@ -250,15 +274,15 @@ def intersect_clusters_pallas(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((Rp,), jnp.float32),
-            jax.ShapeDtypeStruct((Rp,), jnp.int32),
+            jax.ShapeDtypeStruct((n_tiles, RAY_TILE), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, RAY_TILE), jnp.int32),
         ],
         interpret=interpret,
-    )(order_pad, jnp.asarray([n_touched], jnp.int32),
-      scene.cl_first, scene.cl_count, o4, d4, t0p, actp, bb, cl_const)
+    )(order_pad, n_touched, scene.cl_first, scene.cl_count,
+      o4, d4, t0_2d, act_2d, bb, cl_const)
 
-    idx = idx[:R]
-    t_hit = jnp.where(idx >= 0, t_hit[:R], isx.INF)
+    idx = idx.reshape(Rp)[:R]
+    t_hit = jnp.where(idx >= 0, t_hit.reshape(Rp)[:R], isx.INF)
     return TriHit(idx, jax.lax.stop_gradient(t_hit))
 
 

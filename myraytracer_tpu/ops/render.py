@@ -105,13 +105,25 @@ def render(
     return img
 
 
+#: two-phase backward (topology pass + checkpointed shading replay) —
+#: the backward never re-runs traversal/occlusion scans; set
+#: MRT_TWO_PHASE=0 to fall back to full-remat of the whole trace
+TWO_PHASE = _os.environ.get("MRT_TWO_PHASE", "1") == "1"
+
+
 def _loss_grad_tiled(scene, o, d, target, w, cfg, tile):
     """Shared core: remat-tiled SSE loss + scene-param grads.
 
-    A ``lax.scan`` over fixed-size ray tiles with ``jax.checkpoint`` on
-    the tile body: backward rematerializes one tile at a time, so memory
-    stays O(tile) instead of O(image) — the HBM-vs-FLOPs trade XLA can't
-    discover alone. ``w`` masks padded rays.
+    A ``lax.scan`` over fixed-size ray tiles. Default (two-phase): each
+    tile first runs the gradient-free topology pass (traversal, shadow
+    queries — the expensive scans), then a ``jax.checkpoint``-ed
+    differentiable shading replay of that fixed topology
+    (tracer.trace_shade). The backward rematerializes only the cheap
+    shading, with the recorded topology (~ints/bools per ray/segment)
+    as saved residuals — the expensive scans run exactly once.
+    Fallback (MRT_TWO_PHASE=0): checkpoint the whole trace per tile, so
+    the backward re-runs traversal during rematerialization. ``w`` masks
+    padded rays.
     """
     from myraytracer_tpu.parallel.shard_render import merge_params, split_params
 
@@ -126,15 +138,32 @@ def _loss_grad_tiled(scene, o, d, target, w, cfg, tile):
 
     params = split_params(scene)
 
-    def loss_fn(p):
-        def body(acc, xs):
-            ot, dt, tt, wt = xs
-            c = tr.trace(merge_params(scene, p), ot, dt, cfg)
-            return acc + jnp.sum(wt[:, None] * (c - tt) ** 2), None
+    if TWO_PHASE:
+        def shade_loss(p, topo, ot, dt, tt, wt):
+            c = tr.trace_shade(merge_params(scene, p), ot, dt, topo, cfg)
+            return jnp.sum(wt[:, None] * (c - tt) ** 2)
 
-        total, _ = jax.lax.scan(jax.checkpoint(body), jnp.float32(0.0),
-                                (o_t, d_t, t_t, w_t))
-        return total
+        shade_loss = jax.checkpoint(shade_loss)
+
+        def loss_fn(p):
+            def body(acc, xs):
+                ot, dt, tt, wt = xs
+                topo = tr.trace_topology(scene, ot, dt, cfg)
+                return acc + shade_loss(p, topo, ot, dt, tt, wt), None
+
+            total, _ = jax.lax.scan(body, jnp.float32(0.0),
+                                    (o_t, d_t, t_t, w_t))
+            return total
+    else:
+        def loss_fn(p):
+            def body(acc, xs):
+                ot, dt, tt, wt = xs
+                c = tr.trace(merge_params(scene, p), ot, dt, cfg)
+                return acc + jnp.sum(wt[:, None] * (c - tt) ** 2), None
+
+            total, _ = jax.lax.scan(jax.checkpoint(body), jnp.float32(0.0),
+                                    (o_t, d_t, t_t, w_t))
+            return total
 
     return jax.value_and_grad(loss_fn)(params)
 

@@ -309,6 +309,57 @@ def lighting(
     return color + jnp.sum(contrib, axis=0)
 
 
+def lighting_from_mask(
+    scene,
+    hit: shade.Hit,
+    view: jnp.ndarray,
+    is_shadow: jnp.ndarray,   # [L, R] bool (precomputed occlusion)
+) -> jnp.ndarray:
+    """Phong local illumination with a FIXED shadow mask.
+
+    Identical math to :func:`lighting` but takes the occlusion result as
+    an input instead of tracing shadow rays — the differentiable half of
+    the fixed-hit-topology split (occlusion is stop-gradient by design,
+    so reusing the recorded mask changes no gradients).
+    """
+    color = scene.ambience[None, :] * hit.ambient
+    L = scene.n_lights
+    if L == 0:
+        return color
+
+    point, normal = hit.point, hit.normal
+    lp = scene.light_pos                                  # [L, 3]
+    l_dir = vm.normalize(lp[:, None, :] - point[None])    # [L, R, 3]
+    diff = jnp.maximum(0.0, vm.dot(normal[None], l_dir))  # [L, R]
+
+    r = vm.normalize(vm.mirror(l_dir, normal[None]))
+    cos_rv = jnp.maximum(0.0, vm.dot(r, view[None]))
+    gate = (diff > 0.0) & (cos_rv > 0.0)
+    base = jnp.where(gate, cos_rv, 1.0)
+    spec = jnp.where(gate, jnp.power(base, hit.shininess[None]), 0.0)
+
+    lit = (~is_shadow).astype(color.dtype)                # [L, R]
+    contrib = scene.light_color[:, None, :] * lit[:, :, None] * (
+        hit.diffuse[None] * diff[:, :, None]
+        + hit.specular[None] * spec[:, :, None]
+    )                                                     # [L, R, 3]
+    return color + jnp.sum(contrib, axis=0)
+
+
+class TraceTopo(NamedTuple):
+    """Per-segment discrete trace topology (all non-differentiable).
+
+    Shapes: [S, R] for kind/idx/hit/miss, [S, L, R] for shadow, where
+    S = max_depth + 1 Whitted segments.
+    """
+
+    kind: jnp.ndarray
+    idx: jnp.ndarray
+    hit: jnp.ndarray
+    miss: jnp.ndarray
+    shadow: jnp.ndarray
+
+
 class _Bounce(NamedTuple):
     o: jnp.ndarray
     d: jnp.ndarray
@@ -378,4 +429,121 @@ def trace(
         color=jnp.zeros((R, 3), o.dtype),
     )
     out, _ = jax.lax.scan(body, init, None, length=scene.max_depth + 1)
+    return out.color
+
+
+def trace_topology(
+    scene,
+    o: jnp.ndarray,
+    d: jnp.ndarray,
+    cfg: TraceConfig = TraceConfig(),
+) -> TraceTopo:
+    """Gradient-free topology pass: the same Whitted scan as
+    :func:`trace`, recording per segment WHICH primitive each ray hit,
+    whether it was live/miss, and the shadow mask per light — everything
+    discrete. :func:`trace_shade` replays the differentiable shading from
+    this record without any traversal or occlusion queries, which is what
+    lets the backward pass skip the expensive scans entirely.
+    """
+    R = o.shape[0]
+    o = jax.lax.stop_gradient(o)
+    d = jax.lax.stop_gradient(d)
+    scene = jax.tree.map(jax.lax.stop_gradient, scene)
+    tri_flat, cl_tris = _tri_caches(scene, cfg)
+    L = max(scene.n_lights, 1)
+
+    def segment(carry):
+        live = carry.weight > 0.0
+        kind, idx = intersect_scene(scene, carry.o, carry.d, active=live,
+                                    cfg=cfg, tri_flat=tri_flat,
+                                    cl_tris=cl_tris)
+        hit = shade.resolve_hit(scene, carry.o, carry.d, kind, idx,
+                                cfg.texture_filter)
+        h = live & hit.valid
+        miss = live & ~hit.valid
+
+        cast = h & (hit.shadowable > 0.5)
+        if scene.n_lights:
+            is_shadow = occluded_batched(scene, hit.point, cast, cfg,
+                                         tri_flat, cl_tris)
+        else:
+            is_shadow = jnp.zeros((L, R), bool)
+
+        refl = vm.reflect(carry.d, hit.normal)
+        o2 = hit.point + shade.EPS_OFFSET * refl
+        w2 = jnp.where(h, carry.weight * hit.mirror, 0.0)
+        nxt = _Bounce(
+            o=jnp.where(h[:, None], o2, carry.o),
+            d=jnp.where(h[:, None], refl, carry.d),
+            weight=w2,
+            color=carry.color,
+        )
+        return nxt, (kind, idx, h, miss, is_shadow)
+
+    def body(carry, _):
+        def dead(c):
+            return c, (
+                jnp.full((R,), shade.KIND_MISS, jnp.int32),
+                jnp.zeros((R,), jnp.int32),
+                jnp.zeros((R,), bool),
+                jnp.zeros((R,), bool),
+                jnp.zeros((L, R), bool),
+            )
+
+        return jax.lax.cond(jnp.any(carry.weight > 0.0), segment, dead,
+                            carry)
+
+    init = _Bounce(o=o, d=d, weight=jnp.ones((R,), o.dtype),
+                   color=jnp.zeros((R, 0), o.dtype))
+    _, (kind, idx, h, miss, shadow) = jax.lax.scan(
+        body, init, None, length=scene.max_depth + 1)
+    return TraceTopo(kind=kind, idx=idx, hit=h, miss=miss, shadow=shadow)
+
+
+def trace_shade(
+    scene,
+    o: jnp.ndarray,
+    d: jnp.ndarray,
+    topo: TraceTopo,
+    cfg: TraceConfig = TraceConfig(),
+) -> jnp.ndarray:
+    """Differentiable shading replay of a recorded topology -> [R, 3].
+
+    Re-resolves each segment's FIXED hit (differentiable t/normal/UV via
+    shade.resolve_hit), shades with the recorded shadow mask, and chains
+    mirror reflections — no traversal, no occlusion query, so its
+    backward is cheap. trace_shade(scene, o, d, trace_topology(...))
+    equals trace(scene, o, d) exactly (tests/test_two_phase.py).
+    """
+
+    def body(carry: _Bounce, x):
+        kind, idx, h, miss, is_shadow = x
+        hit = shade.resolve_hit(scene, carry.o, carry.d, kind, idx,
+                                cfg.texture_filter)
+        local = lighting_from_mask(scene, hit, -carry.d, is_shadow)
+        add = jnp.where(
+            h[:, None],
+            carry.weight[:, None] * (1.0 - hit.mirror[:, None]) * local,
+            0.0,
+        ) + jnp.where(
+            miss[:, None],
+            carry.weight[:, None] * scene.background[None, :],
+            0.0,
+        )
+
+        refl = vm.reflect(carry.d, hit.normal)
+        o2 = hit.point + shade.EPS_OFFSET * refl
+        w2 = jnp.where(h, carry.weight * hit.mirror, 0.0)
+        nxt = _Bounce(
+            o=jnp.where(h[:, None], o2, carry.o),
+            d=jnp.where(h[:, None], refl, carry.d),
+            weight=w2,
+            color=carry.color + add,
+        )
+        return nxt, None
+
+    R = o.shape[0]
+    init = _Bounce(o=o, d=d, weight=jnp.ones((R,), o.dtype),
+                   color=jnp.zeros((R, 3), o.dtype))
+    out, _ = jax.lax.scan(body, init, topo)
     return out.color
