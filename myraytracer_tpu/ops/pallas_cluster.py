@@ -1,4 +1,4 @@
-"""Pallas TPU kernel for the compacted cluster scan (opt-in fast path).
+"""Pallas TPU kernel for the compacted cluster scan (default on TPU).
 
 Same algorithm as ops/cluster.py phase 2, fused into one kernel per ray
 tile: the compacted touched-cluster order and count are scalar-prefetch
@@ -22,9 +22,11 @@ Layout:
   bbox       cl_bb [K, 6] f32 in VMEM (bbmin, bbmax)
   order/meta [K+2] i32 + first/count [K] i32 as scalar prefetch
 
-Used when TraceConfig.use_pallas_cluster is set (off by default until it
-beats the XLA path broadly); correctness is pinned by
-tests/test_pallas_cluster.py in interpret mode and on real TPU.
+Default production path on TPU (TraceConfig.use_pallas_cluster=None
+resolves to on for the TPU backend): measured office 1080p fwd 0.534 s
+vs 0.597 s for the XLA scan, fwd+bwd 1.31 s vs 1.64 s. Correctness is
+pinned by tests/test_pallas_cluster.py in interpret mode and on real
+TPU.
 """
 
 from __future__ import annotations
@@ -47,76 +49,79 @@ try:
 except Exception:  # pragma: no cover
     PALLAS_OK = False
 
-#: rays per kernel instance == the compaction subgroup: each SUB-ray
-#: subgroup gets its OWN touched-cluster list, so the union amplification
-#: of a whole 64x64 screen block (~35 clusters touched vs ~5 needed per
-#: ray) shrinks to the subgroup's much tighter union. The kernel's
-#: per-cluster cost is a DMA + dense VPU batch (no 25us XLA
-#: while-iteration overhead), which is what makes small subgroups
-#: affordable here when they are not in the XLA scan path.
-RAY_TILE = 512
+#: rays per kernel instance (block size; must stay aligned with XLA's
+#: 1-D T(1024) layout tiling for the f32 per-ray operands)
+RAY_TILE = 1024
 
-#: ray-chunk rows processed per inner step (bounds VMEM temporaries)
-RCHUNK = 512
+#: compaction subgroup: each SUB-ray subgroup of a block gets its OWN
+#: touched-cluster list, so the union amplification of a whole 64x64
+#: screen block (~35 clusters touched vs ~5 needed per ray) shrinks to
+#: the subgroup's much tighter union. The kernel's per-cluster cost is a
+#: DMA + dense VPU batch (no 25us XLA while-iteration overhead), which
+#: is what makes small subgroups affordable here when they are not in
+#: the XLA scan path.
+SUB = 512
 
 
 def _kernel(order_ref, meta_ref, first_ref, count_ref, o_ref, d_ref,
             t0_ref, act_ref, bb_ref, tris_hbm, t_out, idx_out, buf, sems,
-            *, M: int, any_hit: bool):
-    """One ray subgroup vs its own compacted cluster list."""
+            *, M: int, any_hit: bool, subs: int):
+    """One ray block; each of its ``subs`` subgroups runs its own
+    compacted cluster list sequentially (double-buffered DMA within)."""
     i = pl.program_id(0)
-    n_touched = meta_ref[i]
     RT = o_ref.shape[0]
+    sub_n = RT // subs
 
-    t_out[0, :] = t0_ref[0, :]
-    idx_out[0, :] = jnp.full((RT,), -1, jnp.int32)
+    t_out[:] = t0_ref[:]
+    idx_out[:] = jnp.full((RT,), -1, jnp.int32)
 
-    def dma(slot, g):
-        kk = order_ref[i, g]
-        return pltpu.make_async_copy(
-            tris_hbm.at[kk], buf.at[slot], sems.at[slot]
-        )
+    def run_sub(sub: int):
+        sid = i * subs + sub
+        n_touched = meta_ref[sid]
+        sl = slice(sub * sub_n, (sub + 1) * sub_n)   # static row range
 
-    @pl.when(n_touched > 0)
-    def _():
-        dma(0, 0).start()
+        def dma(slot, g):
+            kk = order_ref[sid, g]
+            return pltpu.make_async_copy(
+                tris_hbm.at[kk], buf.at[slot], sems.at[slot]
+            )
 
-    def loop_body(g, _):
-        slot = jax.lax.rem(g, 2)
-        nxt = jax.lax.rem(g + 1, 2)
-
-        @pl.when(g + 1 < n_touched)
+        @pl.when(n_touched > 0)
         def _():
-            dma(nxt, g + 1).start()
+            dma(0, 0).start()
 
-        dma(slot, g).wait()
+        def loop_body(g, _):
+            slot = jax.lax.rem(g, 2)
+            nxt = jax.lax.rem(g + 1, 2)
 
-        kk = order_ref[i, g]
-        row = bb_ref[kk]                       # [6]
-        count = count_ref[kk]
-        first = first_ref[kk]
-        bbmin = row[0:3]
-        bbmax = row[3:6]
+            @pl.when(g + 1 < n_touched)
+            def _():
+                dma(nxt, g + 1).start()
 
-        tc = buf[slot]                         # [16, M] solve constants
-        slot_ok = (
-            jax.lax.broadcasted_iota(jnp.int32, (1, M), 1) < count
-        )                                      # [1, M]
+            dma(slot, g).wait()
 
-        def dotc(rows, a0, a1, a2):
-            # (constant rows [3, M]) . per-ray components [RC, 1] -> [RC, M]
-            return a0 * rows[0:1] + a1 * rows[1:2] + a2 * rows[2:3]
+            kk = order_ref[sid, g]
+            row = bb_ref[kk]                       # [6]
+            count = count_ref[kk]
+            first = first_ref[kk]
+            bbmin = row[0:3]
+            bbmax = row[3:6]
 
-        def ray_chunk(c):
-            # static offsets: Mosaic requires provable alignment for
-            # dynamic 1-D vector loads, so the chunk loop is unrolled
-            sl = slice(c * RCHUNK, (c + 1) * RCHUNK)
+            tc = buf[slot]                         # [16, M] solve constants
+            slot_ok = (
+                jax.lax.broadcasted_iota(jnp.int32, (1, M), 1) < count
+            )                                      # [1, M]
+
+            def dotc(rows, a0, a1, a2):
+                # (constant rows [3, M]) . ray components [RC, 1] -> [RC, M]
+                return a0 * rows[0:1] + a1 * rows[1:2] + a2 * rows[2:3]
+
             oc = o_ref[sl, 0:3]                # [RC, 3]
             dc = d_ref[sl, 0:3]
             ivc = 1.0 / dc
-            tb = t_out[0, sl]
-            ib = idx_out[0, sl]
-            ac = act_ref[0, sl]
+            tb = t_out[sl]
+            ib = idx_out[sl]
+            ac = act_ref[sl]
 
             ts0 = (bbmin[None, :] - oc) * ivc
             ts1 = (bbmax[None, :] - oc) * ivc
@@ -127,43 +132,54 @@ def _kernel(order_ref, meta_ref, first_ref, count_ref, o_ref, d_ref,
             if any_hit:
                 touch &= ib < 0
 
-            # Cramer solve from per-tri constants (see module docstring):
-            #   S = -(N.d); t_num = N.o - N.p2
-            #   a_num = c2.w + K2.d; b_num = -c1.w + K1.d;  w = o x d
-            # (component-wise: Mosaic cannot concat rows with mixed
-            # sublane offsets, so no jnp.cross in-kernel)
-            o0, o1, o2 = oc[:, 0:1], oc[:, 1:2], oc[:, 2:3]
-            d0, d1, d2 = dc[:, 0:1], dc[:, 1:2], dc[:, 2:3]
-            w0 = o1 * d2 - o2 * d1
-            w1 = o2 * d0 - o0 * d2
-            w2 = o0 * d1 - o1 * d0
-            s = -dotc(tc[0:3], d0, d1, d2)
-            t_num = dotc(tc[0:3], o0, o1, o2) - tc[3:4]
-            a_num = dotc(tc[7:10], w0, w1, w2) + dotc(tc[13:16], d0, d1, d2)
-            b_num = -dotc(tc[4:7], w0, w1, w2) + dotc(tc[10:13], d0, d1, d2)
-            s_ok = jnp.abs(s) > isx.EPS_DET
-            inv_s = jnp.where(s_ok, 1.0 / jnp.where(s_ok, s, 1.0), 0.0)
-            t_tri = t_num * inv_s
-            alpha = a_num * inv_s
-            beta = b_num * inv_s
-            gamma = 1.0 - alpha - beta
-            inside = (
-                (alpha >= 0) & (alpha <= 1) & (beta >= 0) & (beta <= 1)
-                & (gamma >= 0) & (gamma <= 1)
-            )
-            ok = s_ok & (t_tri > isx.EPS_HIT) & inside
-            t_tri = jnp.where(ok & touch[:, None] & slot_ok, t_tri, isx.INF)
-            j = jnp.argmin(t_tri, axis=1).astype(jnp.int32)
-            t_min = jnp.min(t_tri, axis=1)
-            better = t_min < tb
-            t_out[0, sl] = jnp.where(better, t_min, tb)
-            idx_out[0, sl] = jnp.where(better, first + j, ib)
+            # front-to-back early-out: clusters arrive sorted by entry
+            # distance, so once every ray's best t is in front of this
+            # cluster's slab entry (or the ray never touches it), the
+            # whole dense solve is skipped — only the cheap slab test
+            # and the already-inflight DMA are paid
+            @pl.when(jnp.any(touch))
+            def _():
+                # Cramer solve from per-tri constants (module docstring):
+                #   S = -(N.d); t_num = N.o - N.p2
+                #   a_num = c2.w + K2.d; b_num = -c1.w + K1.d;  w = o x d
+                # (component-wise: Mosaic cannot concat rows with mixed
+                # sublane offsets, so no jnp.cross in-kernel)
+                o0, o1, o2 = oc[:, 0:1], oc[:, 1:2], oc[:, 2:3]
+                d0, d1, d2 = dc[:, 0:1], dc[:, 1:2], dc[:, 2:3]
+                w0 = o1 * d2 - o2 * d1
+                w1 = o2 * d0 - o0 * d2
+                w2 = o0 * d1 - o1 * d0
+                s = -dotc(tc[0:3], d0, d1, d2)
+                t_num = dotc(tc[0:3], o0, o1, o2) - tc[3:4]
+                a_num = (dotc(tc[7:10], w0, w1, w2)
+                         + dotc(tc[13:16], d0, d1, d2))
+                b_num = (-dotc(tc[4:7], w0, w1, w2)
+                         + dotc(tc[10:13], d0, d1, d2))
+                s_ok = jnp.abs(s) > isx.EPS_DET
+                inv_s = jnp.where(s_ok, 1.0 / jnp.where(s_ok, s, 1.0), 0.0)
+                t_tri = t_num * inv_s
+                alpha = a_num * inv_s
+                beta = b_num * inv_s
+                gamma = 1.0 - alpha - beta
+                inside = (
+                    (alpha >= 0) & (alpha <= 1) & (beta >= 0) & (beta <= 1)
+                    & (gamma >= 0) & (gamma <= 1)
+                )
+                ok = s_ok & (t_tri > isx.EPS_HIT) & inside
+                t_tri = jnp.where(ok & touch[:, None] & slot_ok, t_tri,
+                                  isx.INF)
+                j = jnp.argmin(t_tri, axis=1).astype(jnp.int32)
+                t_min = jnp.min(t_tri, axis=1)
+                better = t_min < tb
+                t_out[sl] = jnp.where(better, t_min, tb)
+                idx_out[sl] = jnp.where(better, first + j, ib)
 
-        for c in range(RT // RCHUNK):
-            ray_chunk(c)
-        return 0
+            return 0
 
-    jax.lax.fori_loop(0, n_touched, loop_body, 0, unroll=False)
+        jax.lax.fori_loop(0, n_touched, loop_body, 0, unroll=False)
+
+    for sub in range(subs):
+        run_sub(sub)
 
 
 def intersect_clusters_pallas(
@@ -209,18 +225,20 @@ def intersect_clusters_pallas(
     actp = jnp.pad(act, (0, pad))
 
     # ---- phase 1 (XLA): PER-SUBGROUP compacted front-to-back orders.
-    # Each RAY_TILE subgroup of spatially-adjacent rays gets its own
+    # Each SUB-ray subgroup of spatially-adjacent rays gets its own
     # touched list; unions are far tighter than the whole screen block's.
+    subs = RAY_TILE // SUB
+    n_sub = Rp // SUB
     K = cl_bbmin.shape[0]
-    o_s = o4[:, :3].reshape(n_tiles, RAY_TILE, 3)
+    o_s = o4[:, :3].reshape(n_sub, SUB, 3)
     iv_s = jnp.pad(inv_d, ((0, pad), (0, 0)),
-                   constant_values=1.0).reshape(n_tiles, RAY_TILE, 3)
+                   constant_values=1.0).reshape(n_sub, SUB, 3)
     box_hit, tmin_k = isx.ray_aabb(
         o_s[:, :, None, :], iv_s[:, :, None, :],
         cl_bbmin[None, None], cl_bbmax[None, None]
-    )                                                    # [S, RT, K]
-    ray_touch = (box_hit & (actp.reshape(n_tiles, RAY_TILE, 1) > 0)
-                 & (tmin_k <= t0p.reshape(n_tiles, RAY_TILE, 1)))
+    )                                                    # [S, SUB, K]
+    ray_touch = (box_hit & (actp.reshape(n_sub, SUB, 1) > 0)
+                 & (tmin_k <= t0p.reshape(n_sub, SUB, 1)))
     touched = jnp.any(ray_touch, axis=1)                 # [S, K]
     mean_tmin = jnp.sum(
         jnp.where(ray_touch, jnp.maximum(tmin_k, 0.0), 0.0), axis=1)
@@ -229,17 +247,11 @@ def intersect_clusters_pallas(
                         stable=True)
     n_touched = jnp.sum(touched.astype(jnp.int32), axis=1)   # [S]
     order_pad = jnp.concatenate(
-        [order.astype(jnp.int32), jnp.zeros((n_tiles, 2), jnp.int32)],
+        [order.astype(jnp.int32), jnp.zeros((n_sub, 2), jnp.int32)],
         axis=1)
 
     # packed bbox rows [K, 6]; first/count ride as scalar prefetch
     bb = jnp.concatenate([cl_bbmin, cl_bbmax], axis=1)
-
-    # 1-D per-ray arrays ride as [n_tiles, RAY_TILE] 2-D blocks: Mosaic's
-    # 1-D block layouts must match XLA's T(1024) tiling, which a 512-ray
-    # subgroup can't; (1, RAY_TILE) rows sidestep the constraint
-    t0_2d = t0p.reshape(n_tiles, RAY_TILE)
-    act_2d = actp.reshape(n_tiles, RAY_TILE)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
@@ -249,18 +261,18 @@ def intersect_clusters_pallas(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((RAY_TILE, 4), lambda i, *_: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, RAY_TILE), lambda i, *_: (i, 0),
+            pl.BlockSpec((RAY_TILE,), lambda i, *_: (i,),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, RAY_TILE), lambda i, *_: (i, 0),
+            pl.BlockSpec((RAY_TILE,), lambda i, *_: (i,),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(bb.shape, lambda i, *_: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),   # cl_const stays in HBM
         ],
         out_specs=[
-            pl.BlockSpec((1, RAY_TILE), lambda i, *_: (i, 0),
+            pl.BlockSpec((RAY_TILE,), lambda i, *_: (i,),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, RAY_TILE), lambda i, *_: (i, 0),
+            pl.BlockSpec((RAY_TILE,), lambda i, *_: (i,),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
@@ -269,20 +281,20 @@ def intersect_clusters_pallas(
         ],
     )
 
-    kernel = functools.partial(_kernel, M=M, any_hit=any_hit)
+    kernel = functools.partial(_kernel, M=M, any_hit=any_hit, subs=subs)
     t_hit, idx = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((n_tiles, RAY_TILE), jnp.float32),
-            jax.ShapeDtypeStruct((n_tiles, RAY_TILE), jnp.int32),
+            jax.ShapeDtypeStruct((Rp,), jnp.float32),
+            jax.ShapeDtypeStruct((Rp,), jnp.int32),
         ],
         interpret=interpret,
     )(order_pad, n_touched, scene.cl_first, scene.cl_count,
-      o4, d4, t0_2d, act_2d, bb, cl_const)
+      o4, d4, t0p, actp, bb, cl_const)
 
-    idx = idx.reshape(Rp)[:R]
-    t_hit = jnp.where(idx >= 0, t_hit.reshape(Rp)[:R], isx.INF)
+    idx = idx[:R]
+    t_hit = jnp.where(idx >= 0, t_hit[:R], isx.INF)
     return TriHit(idx, jax.lax.stop_gradient(t_hit))
 
 

@@ -66,6 +66,12 @@ import os as _os
 #: 128 -> 1.07s, 256 -> 1.92s
 BLOCK = int(_os.environ.get("MRT_BLOCK", "64"))
 
+#: rays per loss/grad remat tile (whole screen blocks). Measured on the
+#: office 1080p fwd+bwd (v5e, Pallas path): 4096 -> 1.54 s,
+#: 16384 -> 1.31 s, 65536 -> 2.05 s; four screen blocks per remat tile
+#: amortize the scan/remat overhead without blowing live memory.
+LOSS_TILE = int(_os.environ.get("MRT_LOSS_TILE", str(4 * 64 * 64)))
+
 
 @functools.partial(jax.jit, static_argnames=("cfg", "tile", "clamp"))
 def render(
@@ -128,6 +134,7 @@ def _loss_grad_tiled(scene, o, d, target, w, cfg, tile):
     from myraytracer_tpu.parallel.shard_render import merge_params, split_params
 
     R = o.shape[0]
+    tile = min(tile, R)  # don't pad small batches up to a whole tile
     n_tiles = max(1, (R + tile - 1) // tile)
     pad = n_tiles * tile - R
     o_t = jnp.pad(o, ((0, pad), (0, 0))).reshape(n_tiles, tile, 3)
@@ -139,6 +146,14 @@ def _loss_grad_tiled(scene, o, d, target, w, cfg, tile):
     params = split_params(scene)
 
     if TWO_PHASE:
+        # topology pass hoisted OUTSIDE value_and_grad: the expensive
+        # traversal/occlusion scans run exactly once, and their stacked
+        # results (~ints/bools per ray/segment) feed the loss as plain
+        # inputs the AD transform cannot re-run
+        topo_all = jax.lax.map(
+            lambda x: tr.trace_topology(scene, x[0], x[1], cfg),
+            (o_t, d_t))
+
         def shade_loss(p, topo, ot, dt, tt, wt):
             c = tr.trace_shade(merge_params(scene, p), ot, dt, topo, cfg)
             return jnp.sum(wt[:, None] * (c - tt) ** 2)
@@ -147,12 +162,11 @@ def _loss_grad_tiled(scene, o, d, target, w, cfg, tile):
 
         def loss_fn(p):
             def body(acc, xs):
-                ot, dt, tt, wt = xs
-                topo = tr.trace_topology(scene, ot, dt, cfg)
+                ot, dt, tt, wt, topo = xs
                 return acc + shade_loss(p, topo, ot, dt, tt, wt), None
 
             total, _ = jax.lax.scan(body, jnp.float32(0.0),
-                                    (o_t, d_t, t_t, w_t))
+                                    (o_t, d_t, t_t, w_t, topo_all))
             return total
     else:
         def loss_fn(p):
@@ -175,7 +189,7 @@ def render_loss_grad(
     d: jnp.ndarray,
     target: jnp.ndarray,
     cfg: tr.TraceConfig = tr.TraceConfig(),
-    tile: int = TILE,
+    tile: int = LOSS_TILE,
 ):
     """SSE loss + scene-param grads for arbitrary ray batches.
 
@@ -193,7 +207,7 @@ def render_loss_grad_image(
     camera: Camera,
     target_img: jnp.ndarray,
     cfg: tr.TraceConfig = tr.TraceConfig(),
-    tile: int = TILE,
+    tile: int = LOSS_TILE,
 ):
     """Whole-image SSE loss + grads with 2D-block-coherent ray tiles.
 
@@ -220,8 +234,12 @@ def render_loss_grad_image(
     o, d = camera.primary_rays(to_blocks(xs), to_blocks(ys))
     tgt = jnp.pad(jnp.asarray(target_img), ((0, Hp - H), (0, Wp - W), (0, 0)))
     w = jnp.zeros((Hp, Wp), o.dtype).at[:H, :W].set(1.0)
+    # loss tiles are whole numbers of screen blocks; sizes above one
+    # block trade remat-scan iterations for live memory (and rely on
+    # per-subgroup culling to keep the union tight)
+    tile_eff = max(bh * bw, (tile // (bh * bw)) * (bh * bw))
     return _loss_grad_tiled(
-        scene, o, d, to_blocks(tgt), to_blocks(w), cfg, min(tile, bh * bw)
+        scene, o, d, to_blocks(tgt), to_blocks(w), cfg, tile_eff
     )
 
 

@@ -61,15 +61,21 @@ class TraceConfig(NamedTuple):
     #: office scene (0.505 vs 0.508 s); batched keeps the program smaller.
     shadow_per_light: bool = False
     #: run the cluster scan as the Pallas megakernel (double-buffered
-    #: cluster DMA, in-kernel loop). Measured ~parity with the XLA scan
-    #: on office (28.7 vs 29.9 ms / 65k rays); opt-in while the XLA path
-    #: remains the tuned default.
-    use_pallas_cluster: bool = False
+    #: cluster DMA, per-512-ray-subgroup compacted cluster lists inside
+    #: the kernel). None = auto: ON for TPU (measured faster than the
+    #: XLA scan: office 1080p fwd 0.534 s vs 0.597 s, fwd+bwd 1.31 s vs
+    #: 1.64 s), OFF elsewhere (interpret mode is for tests only).
+    use_pallas_cluster: bool | None = None
 
     def resolved_method(self) -> str:
         if self.tri_method == "auto":
             return "cluster" if jax.default_backend() == "tpu" else "bvh"
         return self.tri_method
+
+    def resolved_pallas(self) -> bool:
+        if self.use_pallas_cluster is None:
+            return jax.default_backend() == "tpu"
+        return self.use_pallas_cluster
 
 
 def _tri_caches(scene, cfg: TraceConfig):
@@ -81,7 +87,7 @@ def _tri_caches(scene, cfg: TraceConfig):
     if cfg.resolved_method() == "cluster":
         from myraytracer_tpu.ops import cluster as _cl
 
-        if cfg.use_pallas_cluster:
+        if cfg.resolved_pallas():
             from myraytracer_tpu.ops.pallas_cluster import (
                 pack_cluster_constants)
 
@@ -101,7 +107,7 @@ def _closest_tris(scene, o, d, active, cfg, tri_flat, cl_tris,
                                      any_hit=any_hit, active=active,
                                      tri_flat=tri_flat)
     if method == "cluster":
-        if cfg.use_pallas_cluster:
+        if cfg.resolved_pallas():
             from myraytracer_tpu.ops.pallas_cluster import (
                 intersect_clusters_pallas)
 
@@ -516,7 +522,8 @@ def trace_shade(
     equals trace(scene, o, d) exactly (tests/test_two_phase.py).
     """
 
-    def body(carry: _Bounce, x):
+    def segment(args):
+        carry, x = args
         kind, idx, h, miss, is_shadow = x
         hit = shade.resolve_hit(scene, carry.o, carry.d, kind, idx,
                                 cfg.texture_filter)
@@ -534,12 +541,20 @@ def trace_shade(
         refl = vm.reflect(carry.d, hit.normal)
         o2 = hit.point + shade.EPS_OFFSET * refl
         w2 = jnp.where(h, carry.weight * hit.mirror, 0.0)
-        nxt = _Bounce(
+        return _Bounce(
             o=jnp.where(h[:, None], o2, carry.o),
             d=jnp.where(h[:, None], refl, carry.d),
             weight=w2,
             color=carry.color + add,
         )
+
+    def body(carry: _Bounce, x):
+        # dead-segment skip from the recorded topology: segments where no
+        # ray is live or missing (e.g. mirror chains in mirror-free
+        # scenes) cost nothing in forward OR backward
+        kind, idx, h, miss, is_shadow = x
+        nxt = jax.lax.cond(jnp.any(h | miss), segment, lambda a: a[0],
+                           (carry, x))
         return nxt, None
 
     R = o.shape[0]

@@ -27,10 +27,19 @@ from myraytracer_tpu.ops import tracer as tr
 from myraytracer_tpu.parallel.mesh import RAY_AXIS
 
 
+#: acceleration-structure float arrays: NOT scene parameters. Traversal
+#: is stop-gradient by design, so their gradients are identically zero —
+#: excluding them keeps the backward from materializing and all-reducing
+#: dead cotangents for ~12k BVH nodes every step.
+_ACCEL_PREFIXES = ("bvh_", "cl_")
+
+
 def _float_field_names(scene: SceneData):
     out = []
     for f in dataclasses.fields(scene):
         if f.metadata.get("static"):
+            continue
+        if f.name.startswith(_ACCEL_PREFIXES):
             continue
         v = getattr(scene, f.name)
         if hasattr(v, "dtype") and jnp.issubdtype(v.dtype, jnp.inexact):
