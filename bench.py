@@ -23,11 +23,22 @@ is unpredictable, so the benchmark time-boxes itself: at
 BENCH_DEADLINE_S (default 3000 s) it prints the best result so far and
 exits 0.
 
+If a warm TPU worker (tools/tpu_worker.py) is polling its queue dir, the
+measurement is delegated to it: the remote compile service charges
+~15-20 min of session setup to the first compile of every NEW process,
+but compiles inside the already-warm worker take seconds. The parent
+then just mirrors the worker's JSON lines to stdout. Without a worker it
+falls back to measuring in-process.
+
 Env knobs:
   BENCH_TESS        office tessellation level (default 10)
   BENCH_SMALL       set to 1 for a fast smoke run (480x270)
+  BENCH_RES         explicit "WxH" resolution override (testing)
   BENCH_DEADLINE_S  wall-clock self-deadline in seconds (default 3000)
   BENCH_FWD_ONLY    set to 1 to skip the fwd+bwd program
+  BENCH_NO_WORKER   set to 1 to skip worker delegation
+  BENCH_PING_S      worker liveness-ping timeout (default 120)
+  TPU_WORKER_QUEUE  worker queue dir (default /tmp/tpuq)
 """
 
 from __future__ import annotations
@@ -46,9 +57,11 @@ _state: dict = {}
 
 
 def _emit() -> None:
-    """Print the current best result as one flushed JSON line."""
+    """Write the current best result as one flushed JSON line."""
     if _state.get("result"):
-        print(json.dumps(_state["result"]), flush=True)
+        out = _state.get("sink") or sys.stdout
+        out.write(json.dumps(_state["result"]) + "\n")
+        out.flush()
 
 
 def _deadline_handler(signum, frame):
@@ -58,17 +71,135 @@ def _deadline_handler(signum, frame):
     os._exit(0)
 
 
-def main() -> None:
-    t_start = time.perf_counter()
-    small = os.environ.get("BENCH_SMALL") == "1"
-    tess = int(os.environ.get("BENCH_TESS", "10"))
-    deadline = float(os.environ.get("BENCH_DEADLINE_S", "3000"))
-    width, height = (480, 270) if small else (1920, 1080)
+def _resolution() -> tuple[int, int]:
+    if os.environ.get("BENCH_RES"):
+        w, h = os.environ["BENCH_RES"].split("x")
+        return int(w), int(h)
+    if os.environ.get("BENCH_SMALL") == "1":
+        return 480, 270
+    return 1920, 1080
 
+
+def _try_worker() -> bool:
+    """Run the measurement inside a warm tools/tpu_worker.py process.
+
+    Returns True iff delegation happened and its JSON lines were
+    mirrored to stdout (each mirrored line also updates _state so the
+    deadline handler re-emits the newest one). False -> caller should
+    measure in-process.
+    """
+    if os.environ.get("BENCH_NO_WORKER") == "1":
+        return False
+    qdir = os.environ.get("TPU_WORKER_QUEUE", "/tmp/tpuq")
+    if not os.path.isdir(qdir):
+        return False
+    tag = f"{os.getpid()}_{int(time.time())}"
+    ping_s = float(os.environ.get("BENCH_PING_S", "120"))
+
+    # liveness ping: the worker should turn this into a marker file
+    marker = os.path.join(qdir, f"00_ping_{tag}.pong")
+    ping = os.path.join(qdir, f"00_ping_{tag}.py")
+    with open(ping, "w") as f:
+        f.write(f"open({marker!r}, 'w').write('pong')\n")
+    t0 = time.time()
+    while not os.path.exists(marker):
+        if time.time() - t0 > ping_s:
+            try:  # dead or wedged worker: withdraw the ping if still queued
+                os.remove(ping)
+            except OSError:
+                pass
+            sys.stderr.write("bench: no worker pong, measuring in-process\n")
+            return False
+        time.sleep(1.0)
+    for p in (marker, ping[:-3] + ".done", ping[:-3] + ".out"):
+        try:
+            os.remove(p)
+        except OSError:
+            pass
+    sys.stderr.write(f"bench: warm worker answered in {time.time()-t0:.1f}s, "
+                     f"delegating\n")
+    sys.stderr.flush()
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    result_path = os.path.join(qdir, f"01_bench_{tag}.jsonl")
+    passthrough = {k: v for k, v in os.environ.items()
+                   if k.startswith("BENCH_")}
+    job = os.path.join(qdir, f"01_bench_{tag}.py")
+    with open(job + ".tmp", "w") as f:
+        f.write(
+            "import os, sys\n"
+            f"os.environ.update({passthrough!r})\n"
+            f"sys.path.insert(0, {repo!r})\n"
+            "# drop stale module state so the worker runs CURRENT code\n"
+            "for m in [m for m in list(sys.modules)\n"
+            "          if m == 'bench' or m.startswith('myraytracer_tpu')]:\n"
+            "    del sys.modules[m]\n"
+            "import bench\n"
+            f"bench.worker_main({result_path!r})\n"
+        )
+    os.replace(job + ".tmp", job)  # atomic: worker never sees a partial file
+
+    # mirror the worker's result lines until the job completes
+    done = job[:-3] + ".done"
+    pos = 0
+    while True:
+        if os.path.exists(result_path):
+            with open(result_path) as f:
+                f.seek(pos)
+                chunk = f.read()
+            # only consume complete lines
+            complete = chunk.rfind("\n")
+            if complete >= 0:
+                pos += complete + 1
+                for line in chunk[:complete].splitlines():
+                    line = line.strip()
+                    if line:
+                        try:
+                            _state["result"] = json.loads(line)
+                        except ValueError:
+                            continue
+                        print(line, flush=True)
+        if os.path.exists(done):
+            out = job[:-3] + ".out"
+            if os.path.exists(out):
+                with open(out) as f:
+                    head = f.readline()
+                sys.stderr.write(f"bench: worker job finished: {head}")
+            return True
+        time.sleep(1.0)
+
+
+def worker_main(result_path: str) -> None:
+    """Entry point when exec'd inside the TPU worker process."""
+    with open(result_path, "a") as sink:
+        _state["sink"] = sink
+        _state["result"] = None
+        try:
+            _measure()
+        finally:
+            _state.pop("sink", None)
+
+
+def main() -> None:
+    deadline = float(os.environ.get("BENCH_DEADLINE_S", "3000"))
     signal.signal(signal.SIGALRM, _deadline_handler)
     signal.alarm(max(1, int(deadline)))
+    if _try_worker():
+        return
+    _measure()
+
+
+def _measure() -> None:
+    t_start = time.perf_counter()
+    tess = int(os.environ.get("BENCH_TESS", "10"))
+    width, height = _resolution()
 
     import jax
+
+    if os.environ.get("MRT_FORCE_CPU") == "1":
+        # env JAX_PLATFORMS is overridden by the axon sitecustomize;
+        # the config update is the reliable in-process switch
+        jax.config.update("jax_platforms", "cpu")
 
     cache_dir = os.environ.get(
         "JAX_CACHE_DIR", os.path.join(os.path.dirname(__file__), ".jax_cache"))
@@ -110,6 +241,7 @@ def main() -> None:
         "device": str(dev),
     }
     _state["result"] = result
+    _emit()  # a parseable line exists from the first moment
 
     # Kick off the fwd+bwd compile in a background thread so the two
     # remote compiles overlap (the compile service dominates wall time);

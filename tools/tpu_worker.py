@@ -32,6 +32,12 @@ def main() -> None:
     os.makedirs(qdir, exist_ok=True)
 
     import jax
+
+    if os.environ.get("MRT_FORCE_CPU") == "1":
+        # env JAX_PLATFORMS is overridden by the axon sitecustomize;
+        # the config update is the reliable in-process switch (tests)
+        jax.config.update("jax_platforms", "cpu")
+
     import jax.numpy as jnp
     import numpy as np
 
