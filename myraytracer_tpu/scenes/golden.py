@@ -326,7 +326,7 @@ def scene_05_cube(scale: float = 1.0) -> Scene:
     return s
 
 
-def _face_mask(res: int = 96):
+def _face_mask(res: int = 144):
     """Sculpted human face mask shell (the o_06 golden is a face, not a blob).
 
     A parametric (u, v) grid over the face region is lifted onto a convex
@@ -428,16 +428,17 @@ def _face_mask(res: int = 96):
         ex = (cent[:, 0] - sx * 0.30) / 0.105
         ey = (cent[:, 1] - 0.175) / 0.048
         keep &= (ex ** 2 + ey ** 2) > 1.0
-    # jagged top edge: irregular zigzag threshold on face height
+    # gently irregular crown: the reference's top edge is a rounded
+    # crown with a few soft notches, not deep teeth
     rng = np.random.default_rng(17)
-    n_teeth = 9
-    knots = rng.uniform(-0.10, 0.03, n_teeth + 1).astype(np.float32)
+    n_teeth = 5
+    knots = rng.uniform(-0.035, 0.015, n_teeth + 1).astype(np.float32)
     tpos = (cent[:, 0] / 1.3 + 0.5) * n_teeth
     k0 = np.clip(tpos.astype(np.int32), 0, n_teeth - 1)
     frac = tpos - k0
     zig = 1 - np.abs(2 * frac - 1)                 # triangle wave per tooth
-    jag = knots[k0] * (1 - zig) + (knots[k0] + 0.06) * zig
-    keep &= cent[:, 1] < (0.86 + jag)
+    jag = knots[k0] * (1 - zig) + (knots[k0] + 0.03) * zig
+    keep &= cent[:, 1] < (0.90 + jag)
     faces = faces[keep]
 
     # drop unreferenced vertices
@@ -458,13 +459,14 @@ def scene_06_mask(scale: float = 1.0) -> Scene:
     s.add_light((0.5, -2.5, 5), (0.10, 0.08, 0.07))   # fill from below
     s.ambience = (0.12, 0.1, 0.09)
     s.background = (0, 0, 0)
-    v, f = _face_mask(res=110)
-    v = v * np.float32(1.45)
-    # tilt like the golden: leaning left, facing slightly right-down
-    cz, szn = np.cos(-0.30), np.sin(-0.30)
+    v, f = _face_mask(res=160)
+    v = v * np.float32(1.05)
+    # tilt like the golden: crown leaning to the viewer's right, face
+    # turned slightly to its own right (viewer-left)
+    cz, szn = np.cos(0.22), np.sin(0.22)
     rot_z = np.float32([[cz, -szn, 0], [szn, cz, 0], [0, 0, 1]])
     v = (v @ rot_z.T).astype(np.float32)
-    v = shapes.transformed(v, rotate_y=0.38, translate=(0.05, 0.05, 0))
+    v = shapes.transformed(v, rotate_y=-0.30, translate=(0.05, 0.02, 0))
     s.add_mesh(TriangleMesh(v, f, material=Material(
         ambient=(0.35, 0.2, 0.15), diffuse=(0.75, 0.45, 0.32),
         specular=(0.25, 0.2, 0.18), shininess=25), draw_mode=PHONG))
@@ -508,8 +510,8 @@ def scene_08_office(scale: float = 1.0, tess: int = 6, resolution=None) -> Scene
     """
     w, h = resolution if resolution else (int(500 * scale), int(500 * scale))
     s = Scene()
-    s.set_camera(eye=(-0.9, 1.55, 4.55), center=(0.35, 1.15, 0), up=(0, 1, 0),
-                 fovy=58, width=w, height=h)
+    s.set_camera(eye=(0.1, 1.6, 4.4), center=(0.0, 1.1, 0), up=(0, 1, 0),
+                 fovy=60, width=w, height=h)
     s.add_light((0, 2.55, 2.2), (0.75, 0.75, 0.72))
     s.add_light((-1.6, 2.3, 3.6), (0.45, 0.45, 0.45))
     s.ambience = (0.5, 0.5, 0.5)
@@ -534,7 +536,8 @@ def scene_08_office(scale: float = 1.0, tess: int = 6, resolution=None) -> Scene
     glass_white = Material(ambient=(0.55, 0.55, 0.58), diffuse=(0.4, 0.4, 0.42),
                            shadowable=False)
 
-    W, H, D = 6.4, 2.9, 9.0   # room extents
+    W, H, D = 5.5, 2.9, 9.0   # room extents (narrow enough that both
+    #                           side walls read in the 60-deg frame)
     zw = -2.2                 # window wall plane (front room ends here)
     # front-room floor / ceiling / side walls (tessellated quads -> real
     # triangles); they stop at the window wall so the back-room envelope
