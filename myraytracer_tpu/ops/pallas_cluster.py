@@ -62,6 +62,12 @@ RAY_TILE = 1024
 #: the XLA scan path.
 SUB = 512
 
+#: rays per dense-solve chunk inside the kernel. Sweep measured
+#: 512 == 256 > 128 > 64 (0.522 / 0.522 / 0.536 / 0.563 s office fwd):
+#: Mosaic's own scheduling of the [512, 128] solve doesn't spill-thrash,
+#: so the whole subgroup runs as one chunk.
+RCHUNK = 512
+
 
 def _kernel(order_ref, meta_ref, first_ref, count_ref, o_ref, d_ref,
             t0_ref, act_ref, bb_ref, tris_hbm, t_out, idx_out, buf, sems,
@@ -132,13 +138,7 @@ def _kernel(order_ref, meta_ref, first_ref, count_ref, o_ref, d_ref,
             if any_hit:
                 touch &= ib < 0
 
-            # front-to-back early-out: clusters arrive sorted by entry
-            # distance, so once every ray's best t is in front of this
-            # cluster's slab entry (or the ray never touches it), the
-            # whole dense solve is skipped — only the cheap slab test
-            # and the already-inflight DMA are paid
-            @pl.when(jnp.any(touch))
-            def _():
+            def solve_chunk(cl, oc, dc, touch, tb, ib):
                 # Cramer solve from per-tri constants (module docstring):
                 #   S = -(N.d); t_num = N.o - N.p2
                 #   a_num = c2.w + K2.d; b_num = -c1.w + K1.d;  w = o x d
@@ -171,8 +171,27 @@ def _kernel(order_ref, meta_ref, first_ref, count_ref, o_ref, d_ref,
                 j = jnp.argmin(t_tri, axis=1).astype(jnp.int32)
                 t_min = jnp.min(t_tri, axis=1)
                 better = t_min < tb
-                t_out[sl] = jnp.where(better, t_min, tb)
-                idx_out[sl] = jnp.where(better, first + j, ib)
+                t_out[cl] = jnp.where(better, t_min, tb)
+                idx_out[cl] = jnp.where(better, first + j, ib)
+
+            # front-to-back early-out: clusters arrive sorted by entry
+            # distance, so once every ray's best t is in front of this
+            # cluster's slab entry (or the ray never touches it), the
+            # whole dense solve is skipped — only the cheap slab test
+            # and the already-inflight DMA are paid
+            @pl.when(jnp.any(touch))
+            def _():
+                # the solve runs in RCHUNK-ray chunks: a full-subgroup
+                # [sub_n, M] solve holds ~30 live [512, 128] temporaries
+                # (thousands of vregs) and spills; small chunks keep the
+                # working set register-resident
+                rchunk = min(RCHUNK, sub_n)
+                for c in range(sub_n // rchunk):
+                    cl = slice(sub * sub_n + c * rchunk,
+                               sub * sub_n + (c + 1) * rchunk)
+                    csl = slice(c * rchunk, (c + 1) * rchunk)
+                    solve_chunk(cl, oc[csl], dc[csl], touch[csl],
+                                tb[csl], ib[csl])
 
             return 0
 
