@@ -81,3 +81,19 @@ def test_bench_no_worker_env(monkeypatch):
 
     monkeypatch.setenv("BENCH_NO_WORKER", "1")
     assert bench._try_worker() is False
+
+
+def test_bench_fallback_runs_small_provisional_first(monkeypatch):
+    """Without a worker, main() measures a small provisional resolution
+    before the full-size programs (a cold remote-compile session may
+    never finish the 1080p compile inside an external timeout)."""
+    import bench
+
+    calls = []
+    monkeypatch.setenv("BENCH_NO_WORKER", "1")
+    monkeypatch.delenv("BENCH_RES", raising=False)
+    monkeypatch.delenv("BENCH_SMALL", raising=False)
+    monkeypatch.setattr(bench, "_measure", lambda: calls.append(
+        (os.environ.get("BENCH_RES"), os.environ.get("BENCH_PROVISIONAL"))))
+    bench.main()
+    assert calls == [("480x270", "1"), (None, None)]
