@@ -104,8 +104,22 @@ class SceneData:
     max_depth: int = dataclasses.field(metadata=dict(static=True), default=3)
     max_leaf: int = dataclasses.field(metadata=dict(static=True), default=2)
     cl_M: int = dataclasses.field(metadata=dict(static=True), default=128)
+    #: static Whitted segment count actually traced. 0 = unset (use
+    #: max_depth + 1). Scene.build() sets 1 when NO material has
+    #: mirror > 0: every ray dies after the primary segment, so the
+    #: mirror-chain iterations are provably dead — this trims the trace /
+    #: topology / shading-replay scans (the static analogue of the CPU
+    #: reference's mirror>0 early-exit, mytracer.cpp:547). Caveat: with
+    #: live_depth=1 the analytic d(image)/d(mat_mirror) at mirror==0
+    #: drops the reflected-radiance term (one-sided derivative).
+    live_depth: int = dataclasses.field(metadata=dict(static=True), default=0)
 
     # static shape helpers (shapes are trace-time constants under jit)
+    @property
+    def n_segments(self) -> int:
+        """Static number of Whitted segments to trace (see live_depth)."""
+        return self.live_depth if self.live_depth > 0 else self.max_depth + 1
+
     @property
     def n_spheres(self) -> int:
         return self.sphere_center.shape[0]
@@ -358,4 +372,7 @@ class Scene:
             cl_first=_i32(cl_first), cl_count=_i32(cl_count),
             cl_bbmin=_f32(cl_bbmin), cl_bbmax=_f32(cl_bbmax), cl_M=cl_M,
             max_depth=int(self.max_depth), max_leaf=int(max_leaf),
+            # mirror-free scenes provably never spawn segment 1+
+            live_depth=(1 if (len(mir) == 0 or float(np.max(mir)) == 0.0)
+                        else int(self.max_depth) + 1),
         )

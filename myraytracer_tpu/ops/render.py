@@ -33,8 +33,11 @@ from myraytracer_tpu.ops import tracer as tr
 AA_SUBP = 4
 AA_THRESHOLD = 0.02
 
-#: default rays per tile for the primary pass
-TILE = 1 << 16
+#: default rays per tile for the primary pass (4 screen blocks). Swept on
+#: the office 1080p fwd (v5e, per-subgroup compaction): 4096 -> 0.511 s,
+#: 16384 -> 0.478 s, 65536 -> 0.525 s; >=262144 exceeds the 1 MB SMEM
+#: budget for the kernel's scalar-prefetch order/lb tables.
+TILE = 1 << 14
 
 
 def _trace_tiled(scene, o, d, cfg: tr.TraceConfig, tile: int) -> jnp.ndarray:
@@ -100,7 +103,12 @@ def render(
         return a.reshape(Hp // bh, bh, Wp // bw, bw).transpose(0, 2, 1, 3).reshape(-1)
 
     o, d = camera.primary_rays(to_blocks(xs), to_blocks(ys))
-    color = _trace_tiled(scene, o, d, cfg, min(tile, bh * bw))
+    # trace tiles are whole numbers of screen blocks: coherence culling
+    # is per-SUB-ray subgroup (ops/pallas_cluster.py), so tiles larger
+    # than one block don't loosen the unions — they just shrink the
+    # number of sequential lax.map iterations
+    tile_eff = max(bh * bw, (tile // (bh * bw)) * (bh * bw))
+    color = _trace_tiled(scene, o, d, cfg, tile_eff)
     img = (
         color.reshape(Hp // bh, Wp // bw, bh, bw, 3)
         .transpose(0, 2, 1, 3, 4)

@@ -52,12 +52,18 @@ class Hit(NamedTuple):
     shadowable: jnp.ndarray # [R] float 0/1
 
 
-def resolve_hit(scene, o, d, kind, idx, texture_filter: str = "nearest") -> Hit:
+def resolve_hit(scene, o, d, kind, idx, texture_filter: str = "nearest",
+                need_colors: bool = True) -> Hit:
     """Recompute the surface interaction for selected (kind, idx).
 
     All three primitive branches are evaluated for every ray and blended
     with ``where`` — compute-all-select is the vector-machine idiom; the
     per-branch work is tiny next to traversal.
+
+    ``need_colors=False`` skips the texture fetch and color-material
+    gathers (diffuse/ambient/specular/shininess come back as zeros) for
+    callers that only need geometry + mirror/shadowable — the
+    topology-recording pass (tracer.trace_topology).
     """
     R = o.shape[0]
     safe = jnp.maximum(idx, 0)
@@ -134,34 +140,47 @@ def resolve_hit(scene, o, d, kind, idx, texture_filter: str = "nearest") -> Hit:
         normal = jnp.where(is_t[:, None], n_t, normal)
         mat_id = jnp.where(is_t, scene.tri_mat[ti], mat_id)
 
-        # texture
-        uvidx = scene.tri_uvidx[ti]
-        u = (alpha * scene.uv_u[uvidx[:, 0]] + beta * scene.uv_u[uvidx[:, 1]]
-             + gamma * scene.uv_u[uvidx[:, 2]])
-        v = (alpha * scene.uv_v[uvidx[:, 0]] + beta * scene.uv_v[uvidx[:, 1]]
-             + gamma * scene.uv_v[uvidx[:, 2]])
-        rec = scene.tri_tex[ti]
-        sampler = tex.sample_bilinear if texture_filter == "bilinear" else tex.sample_nearest
-        texel = sampler(scene.texels, rec, u, v)
-        textured = is_t & (rec[:, 0] > 0)
-        diffuse_override = jnp.where(textured[:, None], texel, diffuse_override)
-        has_override = has_override | textured
+        if need_colors:
+            # texture
+            uvidx = scene.tri_uvidx[ti]
+            u = (alpha * scene.uv_u[uvidx[:, 0]]
+                 + beta * scene.uv_u[uvidx[:, 1]]
+                 + gamma * scene.uv_u[uvidx[:, 2]])
+            v = (alpha * scene.uv_v[uvidx[:, 0]]
+                 + beta * scene.uv_v[uvidx[:, 1]]
+                 + gamma * scene.uv_v[uvidx[:, 2]])
+            rec = scene.tri_tex[ti]
+            sampler = (tex.sample_bilinear if texture_filter == "bilinear"
+                       else tex.sample_nearest)
+            texel = sampler(scene.texels, rec, u, v)
+            textured = is_t & (rec[:, 0] > 0)
+            diffuse_override = jnp.where(
+                textured[:, None], texel, diffuse_override)
+            has_override = has_override | textured
 
     valid = kind != KIND_MISS
     point = o + t[:, None] * d
-    diffuse = jnp.where(
-        has_override[:, None], diffuse_override, scene.mat_diffuse[mat_id]
-    )
+    if need_colors:
+        diffuse = jnp.where(
+            has_override[:, None], diffuse_override,
+            scene.mat_diffuse[mat_id])
+        ambient = scene.mat_ambient[mat_id]
+        specular = scene.mat_specular[mat_id]
+        shininess = scene.mat_shininess[mat_id]
+    else:
+        diffuse = diffuse_override
+        ambient = specular = jnp.zeros((R, 3), o.dtype)
+        shininess = jnp.zeros((R,), o.dtype)
     return Hit(
         valid=valid,
         t=t,
         point=point,
         normal=normal,
         diffuse=diffuse,
-        ambient=scene.mat_ambient[mat_id],
-        specular=scene.mat_specular[mat_id],
+        ambient=ambient,
+        specular=specular,
         mirror=jnp.where(valid, scene.mat_mirror[mat_id], 0.0),
-        shininess=scene.mat_shininess[mat_id],
+        shininess=shininess,
         shadowable=scene.mat_shadowable[mat_id],
     )
 

@@ -205,12 +205,19 @@ def occluded_batched(
     cfg: TraceConfig,
     tri_flat=None,
     cl_tris=None,
+    facing: Optional[jnp.ndarray] = None,  # [L, R] light-facing mask
 ) -> jnp.ndarray:
     """Shadow predicates for ALL lights at once -> [L, R] bool.
 
     Semantics per light match the reference (isShadow = hit && 0 < t <
     light_distance, mytracer.cpp:587-599, origin offset 1e-4), but the
     L x R shadow rays run as ONE batched any-hit query.
+
+    ``facing`` culls (light, ray) pairs whose Phong contribution is zero
+    regardless of occlusion — n.l <= 0 zeroes both diffuse and the
+    diffuse-gated specular (mytracer.cpp:510-534) — so their shadow rays
+    never trace. Culled pairs report False (unshadowed); callers multiply
+    by diff = 0 so the image is unchanged.
     """
     L = scene.n_lights
     R = point.shape[0]
@@ -221,6 +228,11 @@ def occluded_batched(
     dist = vm.norm(l_vec)
     l_dir = vm.normalize(l_vec)
     o = point[None] + shade.EPS_OFFSET * l_dir
+    if facing is not None:
+        active = active[None] & jax.lax.stop_gradient(facing)  # [L, R]
+
+    act2 = active if active.ndim == 2 else jnp.broadcast_to(
+        active[None], (L, R))
 
     per_light = cfg.shadow_per_light and scene.n_tris > 0
     if per_light:
@@ -229,7 +241,7 @@ def occluded_batched(
         shadowed_tri = []
         for li in range(L):
             tri = _closest_tris(
-                scene, o[li], l_dir[li], active, cfg, tri_flat, cl_tris,
+                scene, o[li], l_dir[li], act2[li], cfg, tri_flat, cl_tris,
                 t_max=dist[li], any_hit=True,
             )
             shadowed_tri.append(tri.idx >= 0)
@@ -238,7 +250,7 @@ def occluded_batched(
     of = o.reshape(L * R, 3)
     df = l_dir.reshape(L * R, 3)
     distf = dist.reshape(L * R)
-    actf = jnp.broadcast_to(active[None], (L, R)).reshape(L * R)
+    actf = act2.reshape(L * R)
 
     shadowed = jnp.zeros((L * R,), bool)
     if per_light:
@@ -305,7 +317,8 @@ def lighting(
     spec = jnp.where(gate, jnp.power(base, hit.shininess[None]), 0.0)
 
     cast = active & (hit.shadowable > 0.5)
-    is_shadow = occluded_batched(scene, point, cast, cfg, tri_flat, cl_tris)
+    is_shadow = occluded_batched(scene, point, cast, cfg, tri_flat, cl_tris,
+                                 facing=diff > 0.0)
     lit = (~is_shadow).astype(color.dtype)                # [L, R]
 
     contrib = scene.light_color[:, None, :] * lit[:, :, None] * (
@@ -434,7 +447,7 @@ def trace(
         weight=jnp.ones((R,), o.dtype),
         color=jnp.zeros((R, 3), o.dtype),
     )
-    out, _ = jax.lax.scan(body, init, None, length=scene.max_depth + 1)
+    out, _ = jax.lax.scan(body, init, None, length=scene.n_segments)
     return out.color
 
 
@@ -464,14 +477,17 @@ def trace_topology(
                                     cfg=cfg, tri_flat=tri_flat,
                                     cl_tris=cl_tris)
         hit = shade.resolve_hit(scene, carry.o, carry.d, kind, idx,
-                                cfg.texture_filter)
+                                cfg.texture_filter, need_colors=False)
         h = live & hit.valid
         miss = live & ~hit.valid
 
         cast = h & (hit.shadowable > 0.5)
         if scene.n_lights:
+            l_dir = vm.normalize(
+                scene.light_pos[:, None, :] - hit.point[None])
+            facing = vm.dot(hit.normal[None], l_dir) > 0.0
             is_shadow = occluded_batched(scene, hit.point, cast, cfg,
-                                         tri_flat, cl_tris)
+                                         tri_flat, cl_tris, facing=facing)
         else:
             is_shadow = jnp.zeros((L, R), bool)
 
@@ -502,7 +518,7 @@ def trace_topology(
     init = _Bounce(o=o, d=d, weight=jnp.ones((R,), o.dtype),
                    color=jnp.zeros((R, 0), o.dtype))
     _, (kind, idx, h, miss, shadow) = jax.lax.scan(
-        body, init, None, length=scene.max_depth + 1)
+        body, init, None, length=scene.n_segments)
     return TraceTopo(kind=kind, idx=idx, hit=h, miss=miss, shadow=shadow)
 
 
