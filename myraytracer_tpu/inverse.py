@@ -55,6 +55,16 @@ class InverseRenderer:
         all_params = split_params(scene)
         if param_names is None:
             param_names = tuple(all_params)
+        if "mat_mirror" in param_names and scene.n_segments < scene.max_depth + 1:
+            # live_depth statically trims provably-dead mirror segments
+            # (models/scene.py), but under optimization mirror can GROW
+            # from 0 — the trimmed program would give a one-sided
+            # d(image)/d(mirror) that can never discover reflection.
+            # Restore the full mirror chain for the fit.
+            import dataclasses as _dc
+
+            scene = _dc.replace(scene, live_depth=scene.max_depth + 1)
+            self.base_scene = scene
         unknown = set(param_names) - set(all_params)
         if unknown:
             raise ValueError(f"not differentiable leaves: {sorted(unknown)}")

@@ -38,6 +38,24 @@ def test_recovers_materials(setup):
         np.asarray(res.scene.light_color), np.asarray(data.light_color), atol=0.15)
 
 
+def test_mirror_recoverable_from_zero(setup):
+    """A mirror-free start scene has live_depth=1 (models/scene.py), which
+    would statically kill d(image)/d(mirror); InverseRenderer must restore
+    the full chain when mat_mirror is optimized."""
+    s, data, o, d, _ = setup
+    target = tr.trace(data, o, d)  # data has mirror=0.3 on the sphere
+    flat = dataclasses.replace(
+        data, mat_mirror=np.zeros_like(np.asarray(data.mat_mirror)),
+        live_depth=1)
+    assert flat.n_segments == 1
+    inv = InverseRenderer(flat, param_names=("mat_mirror",),
+                          optimizer=optax.adam(3e-2))
+    assert inv.base_scene.n_segments == data.max_depth + 1
+    res = inv.fit(o, d, target, steps=60)
+    assert res.losses[-1] < res.losses[0] * 0.5
+    assert float(np.max(np.asarray(res.scene.mat_mirror))) > 0.05
+
+
 def test_rejects_bad_param_name(setup):
     _, data, *_ = setup
     with pytest.raises(ValueError):
