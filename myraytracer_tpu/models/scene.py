@@ -113,6 +113,11 @@ class SceneData:
     #: live_depth=1 the analytic d(image)/d(mat_mirror) at mirror==0
     #: drops the reflected-radiance term (one-sided derivative).
     live_depth: int = dataclasses.field(metadata=dict(static=True), default=0)
+    #: False when NO triangle carries a texture record — shade.resolve_hit
+    #: statically skips the uv gathers + atlas sample (gather-heavy, pure
+    #: dead work for untextured scenes). Defaults to True (safe: sample).
+    has_textures: bool = dataclasses.field(metadata=dict(static=True),
+                                           default=True)
 
     # static shape helpers (shapes are trace-time constants under jit)
     @property
@@ -375,4 +380,5 @@ class Scene:
             # mirror-free scenes provably never spawn segment 1+
             live_depth=(1 if (len(mir) == 0 or float(np.max(mir)) == 0.0)
                         else int(self.max_depth) + 1),
+            has_textures=bool(len(tri_tex_a) and np.any(np.asarray(tri_tex_a)[:, 0] > 0)),
         )

@@ -140,7 +140,7 @@ def resolve_hit(scene, o, d, kind, idx, texture_filter: str = "nearest",
         normal = jnp.where(is_t[:, None], n_t, normal)
         mat_id = jnp.where(is_t, scene.tri_mat[ti], mat_id)
 
-        if need_colors:
+        if need_colors and scene.has_textures:
             # texture
             uvidx = scene.tri_uvidx[ti]
             u = (alpha * scene.uv_u[uvidx[:, 0]]
