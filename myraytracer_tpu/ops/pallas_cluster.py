@@ -304,6 +304,68 @@ def _phase1_frustum(o_s, d_s, t0_s, act_s, cl_bbmin, cl_bbmax):
     return jnp.where(touch, jnp.maximum(lb_tmin, 0.0), isx.INF)
 
 
+def _phase1_anyhit_hull(o_s, d_s, t0_s, act_s, cl_bbmin, cl_bbmax):
+    """Conservative per-subgroup touch test + visit key for FINITE
+    any-hit queries (shadow rays): O(S*K) instead of the exact per-ray
+    O(R*K).
+
+    An any-hit ray only tests points on the segment o -> o + t0*d (the
+    occlusion bound clips it at the light), so the subgroup's swept
+    volume is contained in AABB(origins ∪ endpoints) — for shadow rays
+    the endpoint box collapses to the light position, making this hull
+    far tighter than the direction-interval frustum for the same bundle.
+    Intersected with the interval slab test (:func:`_phase1_frustum`) for
+    extra pruning; both tests are supersets of the exact per-ray union,
+    so their conjunction still is. The in-kernel per-ray test keeps the
+    final result exact. Key = max of the two t lower bounds (each valid).
+
+    Returns key [S, K]: lower bound on any hit t (>= 0), INF = skip.
+    """
+    eps = jnp.float32(1e-4)
+    big = jnp.float32(3e37)
+    a3 = act_s[:, :, None]
+    any_act = jnp.any(act_s, axis=1)                      # [S]
+
+    e_s = o_s + t0_s[:, :, None] * d_s                    # endpoints
+    olo = jnp.min(jnp.where(a3, o_s, big), axis=1)        # [S, 3]
+    ohi = jnp.max(jnp.where(a3, o_s, -big), axis=1)
+    elo = jnp.min(jnp.where(a3, e_s, big), axis=1)
+    ehi = jnp.max(jnp.where(a3, e_s, -big), axis=1)
+    ulo = jnp.minimum(olo, elo)
+    uhi = jnp.maximum(ohi, ehi)
+    # absolute + relative inflation: phase-1 must be a SUPERSET of the
+    # exact union, so fp32 rounding of the endpoint sum must never shrink
+    # the box past a true hit point
+    slack = eps * (1.0 + jnp.maximum(jnp.abs(ulo), jnp.abs(uhi)))
+    ulo = ulo - slack
+    uhi = uhi + slack
+
+    overlap = jnp.all(
+        (cl_bbmin[None] <= uhi[:, None]) & (cl_bbmax[None] >= ulo[:, None]),
+        axis=2,
+    )                                                     # [S, K]
+
+    # t lower bound from origin-box -> cluster-box distance (t = |x-o|/|d|)
+    gap = jnp.maximum(
+        0.0,
+        jnp.maximum(cl_bbmin[None] - ohi[:, None],
+                    olo[:, None] - cl_bbmax[None]),
+    )                                                     # [S, K, 3]
+    dist = jnp.sqrt(jnp.sum(gap * gap, axis=2))           # [S, K]
+    dnorm = jnp.sqrt(jnp.sum(d_s * d_s, axis=2))          # [S, R']
+    dmax = jnp.max(jnp.where(act_s, dnorm, 0.0), axis=1)  # [S]
+    safe_dmax = jnp.maximum(dmax, jnp.float32(1e-30))
+    lb_box = dist / safe_dmax[:, None] * (1.0 - eps)      # [S, K]
+
+    t0_max = jnp.max(jnp.where(act_s, t0_s, 0.0), axis=1)  # [S]
+    touch = (overlap & any_act[:, None]
+             & (lb_box <= t0_max[:, None] * (1.0 + eps)))
+
+    key_f = _phase1_frustum(o_s, d_s, t0_s, act_s, cl_bbmin, cl_bbmax)
+    key = jnp.maximum(key_f, jnp.maximum(lb_box, 0.0))
+    return jnp.where(touch & (key_f < isx.INF), key, isx.INF)
+
+
 def intersect_clusters_pallas(
     scene,
     o: jnp.ndarray,
@@ -352,17 +414,29 @@ def intersect_clusters_pallas(
     subs = RAY_TILE // SUB
     n_sub = Rp // SUB
     K = cl_bbmin.shape[0]
-    # default = exact per-ray compaction. The conservative per-subgroup
-    # frustum variant (O(S*K) instead of O(R*K)) was measured SLOWER on
-    # the office 1080p fwd (0.515 vs 0.466 s): its looser touched lists
-    # cost more kernel iterations than the cheaper test saves.
+    # default ("auto"): exact per-ray compaction for closest-hit; the
+    # O(S*K) hull test (_phase1_anyhit_hull) for finite any-hit queries
+    # (shadow rays), whose segment structure makes the subgroup hull
+    # nearly as tight as the exact union at ~SUB x less phase-1 work.
+    # "exact" forces per-ray everywhere; "frustum" forces the
+    # direction-interval variant everywhere (measured SLOWER for
+    # closest-hit: 0.515 vs 0.466 s — looser lists cost more kernel
+    # iterations than the cheaper test saves).
     import os as _os
-    if _os.environ.get("MRT_PHASE1", "exact") == "frustum":
-        key = _phase1_frustum(
-            o4[:, :3].reshape(n_sub, SUB, 3),
-            d4[:, :3].reshape(n_sub, SUB, 3),
-            t0p.reshape(n_sub, SUB), actp.reshape(n_sub, SUB) > 0,
-            cl_bbmin, cl_bbmax)                          # [S, K]
+    mode = _os.environ.get("MRT_PHASE1", "auto")
+    use_hull = (mode in ("auto", "hull") and any_hit
+                and t_max is not None)
+    if mode == "frustum" or use_hull:
+        o_s = o4[:, :3].reshape(n_sub, SUB, 3)
+        d_s = d4[:, :3].reshape(n_sub, SUB, 3)
+        t0_s = t0p.reshape(n_sub, SUB)
+        act_s = actp.reshape(n_sub, SUB) > 0
+        if use_hull:
+            key = _phase1_anyhit_hull(o_s, d_s, t0_s, act_s,
+                                      cl_bbmin, cl_bbmax)    # [S, K]
+        else:
+            key = _phase1_frustum(o_s, d_s, t0_s, act_s,
+                                  cl_bbmin, cl_bbmax)        # [S, K]
         touched = key < isx.INF
     else:
         o_s = o4[:, :3].reshape(n_sub, SUB, 3)

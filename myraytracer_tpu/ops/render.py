@@ -162,16 +162,24 @@ def _loss_grad_tiled(scene, o, d, target, w, cfg, tile):
             lambda x: tr.trace_topology(scene, x[0], x[1], cfg),
             (o_t, d_t))
 
-        def shade_loss(p, topo, ot, dt, tt, wt):
-            c = tr.trace_shade(merge_params(scene, p), ot, dt, topo, cfg)
+        def shade_loss(p, geom, topo, ot, dt, tt, wt):
+            c = tr.trace_shade(merge_params(scene, p), ot, dt, topo, cfg,
+                               geom=geom)
             return jnp.sum(wt[:, None] * (c - tt) ** 2)
 
         shade_loss = jax.checkpoint(shade_loss)
 
         def loss_fn(p):
+            # packed gather rows built ONCE per pass (shade.ShadeGeom):
+            # every tile's backward accumulates into the packed cotangent
+            # and the vertex/material scatter VJPs run a single time
+            from myraytracer_tpu.ops import shade as _shade
+
+            geom = _shade.pack_shade_geom(merge_params(scene, p))
+
             def body(acc, xs):
                 ot, dt, tt, wt, topo = xs
-                return acc + shade_loss(p, topo, ot, dt, tt, wt), None
+                return acc + shade_loss(p, geom, topo, ot, dt, tt, wt), None
 
             total, _ = jax.lax.scan(body, jnp.float32(0.0),
                                     (o_t, d_t, t_t, w_t, topo_all))

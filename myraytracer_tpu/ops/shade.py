@@ -52,20 +52,91 @@ class Hit(NamedTuple):
     shadowable: jnp.ndarray # [R] float 0/1
 
 
+class ShadeGeom(NamedTuple):
+    """Pre-packed differentiable per-triangle / per-material rows.
+
+    resolve_hit runs once per ray per Whitted segment; packing the
+    triangle corner positions, corner normals, and the whole material
+    table into lane-aligned rows turns its ~11 narrow per-ray gathers
+    (3 vertex positions + 3 vertex normals + 5 material columns) into 3
+    wide row gathers. The win is mostly in the BACKWARD: each gather's
+    VJP is a full-image scatter-add pass, so 11 passes collapse into 3
+    (plus [T]/[NM]-sized unpack scatters that cost nothing).
+
+    The pack is an ordinary differentiable function of the scene params
+    (NO stop_gradient): building it once per render pass and threading
+    it through the per-tile scan means gradients accumulate into the
+    packed cotangents tile by tile and hit the vertex/material arrays in
+    ONE final unpack VJP.
+    """
+
+    tri16: jnp.ndarray     # [T, 16] p0 p1 p2 (9) | u0 u1 u2 v0 v1 v2 (6) | pad
+    nrm16: jnp.ndarray     # [T, 16] n0 n1 n2 (9) | phong flag (1) | pad
+    tri_int: jnp.ndarray   # [T, 4] int32: mat id, tex W, tex H, tex offset
+    mat16: jnp.ndarray     # [NM, 16] diffuse3 ambient3 specular3 shin mirror shadowable | pad
+
+
+def pack_shade_geom(scene) -> ShadeGeom:
+    """Build the packed rows from the CURRENT (differentiable) params."""
+    z1 = jnp.zeros((max(scene.n_tris, 1), 1), jnp.float32)
+    if scene.n_tris:
+        tv = scene.tri_vidx
+        vp = scene.vertex_pos
+        pos9 = jnp.concatenate([vp[tv[:, 0]], vp[tv[:, 1]], vp[tv[:, 2]]],
+                               axis=1)
+        if scene.has_textures:
+            uv = scene.tri_uvidx
+            uv6 = jnp.stack([
+                scene.uv_u[uv[:, 0]], scene.uv_u[uv[:, 1]],
+                scene.uv_u[uv[:, 2]], scene.uv_v[uv[:, 0]],
+                scene.uv_v[uv[:, 1]], scene.uv_v[uv[:, 2]],
+            ], axis=1)
+        else:
+            uv6 = jnp.zeros((scene.tri_vidx.shape[0], 6), jnp.float32)
+        tri16 = jnp.concatenate([pos9, uv6, 0.0 * z1], axis=1)
+        vn = scene.vertex_normal
+        nrm9 = jnp.concatenate([vn[tv[:, 0]], vn[tv[:, 1]], vn[tv[:, 2]]],
+                               axis=1)
+        flag = (scene.tri_flags == 1).astype(jnp.float32)[:, None]
+        nrm16 = jnp.concatenate(
+            [nrm9, flag, jnp.zeros((nrm9.shape[0], 6), jnp.float32)], axis=1)
+        tri_int = jnp.concatenate(
+            [scene.tri_mat[:, None], scene.tri_tex], axis=1)
+    else:
+        tri16 = jnp.zeros((1, 16), jnp.float32)
+        nrm16 = jnp.zeros((1, 16), jnp.float32)
+        tri_int = jnp.zeros((1, 4), jnp.int32)
+    nm = scene.mat_diffuse.shape[0]
+    mat16 = jnp.concatenate([
+        scene.mat_diffuse, scene.mat_ambient, scene.mat_specular,
+        scene.mat_shininess[:, None], scene.mat_mirror[:, None],
+        scene.mat_shadowable[:, None], jnp.zeros((nm, 4), jnp.float32),
+    ], axis=1)
+    return ShadeGeom(tri16=tri16, nrm16=nrm16, tri_int=tri_int, mat16=mat16)
+
+
 def resolve_hit(scene, o, d, kind, idx, texture_filter: str = "nearest",
-                need_colors: bool = True) -> Hit:
+                need_colors: bool = True,
+                geom: ShadeGeom | None = None) -> Hit:
     """Recompute the surface interaction for selected (kind, idx).
 
     All three primitive branches are evaluated for every ray and blended
     with ``where`` — compute-all-select is the vector-machine idiom; the
     per-branch work is tiny next to traversal.
 
-    ``need_colors=False`` skips the texture fetch and color-material
-    gathers (diffuse/ambient/specular/shininess come back as zeros) for
-    callers that only need geometry + mirror/shadowable — the
-    topology-recording pass (tracer.trace_topology).
+    ``need_colors=False`` skips the texture fetch (diffuse comes back as
+    zeros unless textured) for callers that only need geometry +
+    mirror/shadowable — the topology-recording pass
+    (tracer.trace_topology).
+
+    ``geom`` is the packed-row cache (:class:`ShadeGeom`); pass it in
+    when resolving many batches against the same scene (the tracer does)
+    so the packing gathers — and in the backward, their scatter VJPs —
+    run once per render pass instead of once per tile/segment.
     """
     R = o.shape[0]
+    if geom is None:
+        geom = pack_shade_geom(scene)
     safe = jnp.maximum(idx, 0)
 
     t = jnp.zeros((R,), o.dtype)
@@ -118,38 +189,33 @@ def resolve_hit(scene, o, d, kind, idx, texture_filter: str = "nearest",
 
     if scene.n_tris:
         ti = jnp.clip(safe, 0, scene.n_tris - 1)
-        vidx = scene.tri_vidx[ti]
-        p0 = scene.vertex_pos[vidx[:, 0]]
-        p1 = scene.vertex_pos[vidx[:, 1]]
-        p2 = scene.vertex_pos[vidx[:, 2]]
+        rows = geom.tri16[ti]                       # [R, 16]
+        p0, p1, p2 = rows[:, 0:3], rows[:, 3:6], rows[:, 6:9]
         t_t, alpha, beta = isx.ray_triangle(o, d, p0, p1, p2)
         gamma = 1.0 - alpha - beta
         # flat face normal recomputed from vertices (differentiable),
         # equal to the reference's precomputed triangle.normal
         # (mymesh.cpp:116); PHONG interpolates UNnormalized (parity).
         n_flat = vm.normalize(vm.cross(p1 - p0, p2 - p0))
-        n0 = scene.vertex_normal[vidx[:, 0]]
-        n1 = scene.vertex_normal[vidx[:, 1]]
-        n2 = scene.vertex_normal[vidx[:, 2]]
+        nr = geom.nrm16[ti]                         # [R, 16]
+        n0, n1, n2 = nr[:, 0:3], nr[:, 3:6], nr[:, 6:9]
         n_phong = alpha[:, None] * n0 + beta[:, None] * n1 + gamma[:, None] * n2
-        is_phong = scene.tri_flags[ti] == 1
+        is_phong = nr[:, 9] > 0.5
         n_t = jnp.where(is_phong[:, None], n_phong, n_flat)
 
+        ints = geom.tri_int[ti]                     # [R, 4]
         is_t = kind == KIND_TRI
         t = jnp.where(is_t, t_t, t)
         normal = jnp.where(is_t[:, None], n_t, normal)
-        mat_id = jnp.where(is_t, scene.tri_mat[ti], mat_id)
+        mat_id = jnp.where(is_t, ints[:, 0], mat_id)
 
         if need_colors and scene.has_textures:
             # texture
-            uvidx = scene.tri_uvidx[ti]
-            u = (alpha * scene.uv_u[uvidx[:, 0]]
-                 + beta * scene.uv_u[uvidx[:, 1]]
-                 + gamma * scene.uv_u[uvidx[:, 2]])
-            v = (alpha * scene.uv_v[uvidx[:, 0]]
-                 + beta * scene.uv_v[uvidx[:, 1]]
-                 + gamma * scene.uv_v[uvidx[:, 2]])
-            rec = scene.tri_tex[ti]
+            u = (alpha * rows[:, 9] + beta * rows[:, 10]
+                 + gamma * rows[:, 11])
+            v = (alpha * rows[:, 12] + beta * rows[:, 13]
+                 + gamma * rows[:, 14])
+            rec = ints[:, 1:4]
             sampler = (tex.sample_bilinear if texture_filter == "bilinear"
                        else tex.sample_nearest)
             texel = sampler(scene.texels, rec, u, v)
@@ -160,13 +226,13 @@ def resolve_hit(scene, o, d, kind, idx, texture_filter: str = "nearest",
 
     valid = kind != KIND_MISS
     point = o + t[:, None] * d
+    mat = geom.mat16[mat_id]                        # [R, 16]
     if need_colors:
-        diffuse = jnp.where(
-            has_override[:, None], diffuse_override,
-            scene.mat_diffuse[mat_id])
-        ambient = scene.mat_ambient[mat_id]
-        specular = scene.mat_specular[mat_id]
-        shininess = scene.mat_shininess[mat_id]
+        diffuse = jnp.where(has_override[:, None], diffuse_override,
+                            mat[:, 0:3])
+        ambient = mat[:, 3:6]
+        specular = mat[:, 6:9]
+        shininess = mat[:, 9]
     else:
         diffuse = diffuse_override
         ambient = specular = jnp.zeros((R, 3), o.dtype)
@@ -179,9 +245,9 @@ def resolve_hit(scene, o, d, kind, idx, texture_filter: str = "nearest",
         diffuse=diffuse,
         ambient=ambient,
         specular=specular,
-        mirror=jnp.where(valid, scene.mat_mirror[mat_id], 0.0),
+        mirror=jnp.where(valid, mat[:, 10], 0.0),
         shininess=shininess,
-        shadowable=scene.mat_shadowable[mat_id],
+        shadowable=mat[:, 11],
     )
 
 

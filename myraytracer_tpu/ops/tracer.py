@@ -401,6 +401,7 @@ def trace(
     """
     R = o.shape[0]
     tri_flat, cl_tris = _tri_caches(scene, cfg)
+    geom = shade.pack_shade_geom(scene)
 
     def segment(carry: _Bounce) -> _Bounce:
         live = carry.weight > 0.0
@@ -408,7 +409,7 @@ def trace(
                                     cfg=cfg, tri_flat=tri_flat,
                                     cl_tris=cl_tris)
         hit = shade.resolve_hit(scene, carry.o, carry.d, kind, idx,
-                                cfg.texture_filter)
+                                cfg.texture_filter, geom=geom)
         h = live & hit.valid
         miss = live & ~hit.valid
 
@@ -469,6 +470,7 @@ def trace_topology(
     d = jax.lax.stop_gradient(d)
     scene = jax.tree.map(jax.lax.stop_gradient, scene)
     tri_flat, cl_tris = _tri_caches(scene, cfg)
+    geom = shade.pack_shade_geom(scene)
     L = max(scene.n_lights, 1)
 
     def segment(carry):
@@ -477,7 +479,8 @@ def trace_topology(
                                     cfg=cfg, tri_flat=tri_flat,
                                     cl_tris=cl_tris)
         hit = shade.resolve_hit(scene, carry.o, carry.d, kind, idx,
-                                cfg.texture_filter, need_colors=False)
+                                cfg.texture_filter, need_colors=False,
+                                geom=geom)
         h = live & hit.valid
         miss = live & ~hit.valid
 
@@ -528,6 +531,7 @@ def trace_shade(
     d: jnp.ndarray,
     topo: TraceTopo,
     cfg: TraceConfig = TraceConfig(),
+    geom: shade.ShadeGeom | None = None,
 ) -> jnp.ndarray:
     """Differentiable shading replay of a recorded topology -> [R, 3].
 
@@ -536,13 +540,18 @@ def trace_shade(
     mirror reflections — no traversal, no occlusion query, so its
     backward is cheap. trace_shade(scene, o, d, trace_topology(...))
     equals trace(scene, o, d) exactly (tests/test_two_phase.py).
+
+    ``geom`` (the packed-row gather cache) can be shared across tiles of
+    one render pass so its pack/unpack VJP scatters run once per pass.
     """
+    if geom is None:
+        geom = shade.pack_shade_geom(scene)
 
     def segment(args):
         carry, x = args
         kind, idx, h, miss, is_shadow = x
         hit = shade.resolve_hit(scene, carry.o, carry.d, kind, idx,
-                                cfg.texture_filter)
+                                cfg.texture_filter, geom=geom)
         local = lighting_from_mask(scene, hit, -carry.d, is_shadow)
         add = jnp.where(
             h[:, None],
