@@ -59,8 +59,11 @@ RAY_TILE = 1024
 #: the subgroup's much tighter union. The kernel's per-cluster cost is a
 #: DMA + dense VPU batch (no 25us XLA while-iteration overhead), which
 #: is what makes small subgroups affordable here when they are not in
-#: the XLA scan path.
-SUB = 512
+#: the XLA scan path. Swept 256/512/1024 -> 0.500/0.490/0.523 s (office
+#: fwd, round 2); env-tunable for re-sweeps as other costs move.
+import os as _os
+
+SUB = int(_os.environ.get("MRT_SUB", "512"))
 
 #: rays per dense-solve chunk inside the kernel. Sweep measured
 #: 512 == 256 > 128 > 64 (0.522 / 0.522 / 0.536 / 0.563 s office fwd):
@@ -424,8 +427,7 @@ def intersect_clusters_pallas(
     # iterations than the cheaper test saves).
     import os as _os
     mode = _os.environ.get("MRT_PHASE1", "auto")
-    use_hull = (mode in ("auto", "hull") and any_hit
-                and t_max is not None)
+    use_hull = (mode != "exact" and any_hit and t_max is not None)
     if mode == "frustum" or use_hull:
         o_s = o4[:, :3].reshape(n_sub, SUB, 3)
         d_s = d4[:, :3].reshape(n_sub, SUB, 3)
