@@ -326,6 +326,16 @@ def render_aa(
     xs = (px[:, None] + offs[None, :, 0]).ravel()
     ys = (py[:, None] + offs[None, :, 1]).ravel()
     o, d = camera.primary_rays(xs, ys)
+    # budget slots whose pixel did NOT exceed the threshold keep their
+    # pass-1 color anyway — replace their rays with a guaranteed-miss
+    # probe (origin far outside every AABB, axis direction) so the
+    # tracer's cluster culling skips them at zero dense-solve cost
+    # (typical goldens flag 2-6% of pixels while the static budget must
+    # be sized for the worst frame)
+    sel_ray = jnp.repeat(sel, subp * subp)
+    o = jnp.where(sel_ray[:, None], o, jnp.float32(3e18))
+    d = jnp.where(sel_ray[:, None], d,
+                  jnp.array([1.0, 0.0, 0.0], o.dtype)[None])
     colors = _trace_tiled(scene, o, d, cfg, tile)
     avg = jnp.minimum(colors.reshape(K, subp * subp, 3).mean(axis=1), 1.0)
 
