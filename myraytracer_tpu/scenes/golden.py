@@ -474,27 +474,123 @@ def scene_06_mask(scale: float = 1.0) -> Scene:
     return s
 
 
+def _toon_heads():
+    """Six sculpted toon heads (the o_07 golden is six character heads
+    with ears/muzzles/paws, /root/reference/outputs/o_07_toon_faces.png —
+    not featureless blobs). Each is a single-material compound of
+    ellipsoid parts; features are geometric so Phong shading and the
+    silhouette carry them. Returns a list of (parts, color) where parts
+    is a list of _ell(...) tuples in a head-local frame (facing +z,
+    resting near y=0)."""
+    heads = []
+
+    # 1. teal: cat curled on the ground — squashed body ball, head ball
+    # resting on it, two pointy ears, tail ridge curling around the base
+    cat = [
+        _ell((0, 0.02, 0), (0.62, 0.5, 0.55)),                       # body
+        _ell((0.18, 0.28, 0.28), (0.36, 0.32, 0.3)),                 # head
+        _ell((0.0, 0.56, 0.22), (0.1, 0.2, 0.07), rz=0.35, taper=0.6),   # ear
+        _ell((0.38, 0.54, 0.2), (0.1, 0.2, 0.07), rz=-0.35, taper=0.6),  # ear
+        _ell((-0.45, -0.28, 0.3), (0.34, 0.12, 0.12), ry=0.5),       # tail
+        _ell((0.14, 0.26, 0.56), (0.14, 0.1, 0.1)),                  # muzzle
+    ]
+    heads.append((cat, (0.15, 0.6, 0.7)))
+
+    # 2. cream: tall rounded skull, two small round ears on top, a big
+    # forward muzzle with nostril bumps and a heavy brow (Scooby-ish)
+    scooby = [
+        _ell((0, 0.3, 0), (0.46, 0.62, 0.46)),                       # skull
+        _ell((-0.3, 0.92, -0.05), (0.14, 0.18, 0.12)),               # ear
+        _ell((0.3, 0.92, -0.05), (0.14, 0.18, 0.12)),                # ear
+        _ell((0, 0.02, 0.34), (0.34, 0.28, 0.3)),                    # muzzle
+        _ell((-0.08, 0.1, 0.62), (0.09, 0.07, 0.07)),                # nostril
+        _ell((0.08, 0.1, 0.62), (0.09, 0.07, 0.07)),                 # nostril
+        _ell((0, 0.52, 0.36), (0.3, 0.1, 0.14)),                     # brow
+    ]
+    heads.append((scooby, (0.8, 0.75, 0.45)))
+
+    # 3. orange: droopy dog — round skull, LONG ears hanging down both
+    # sides, big nose on a sagging muzzle
+    droopy = [
+        _ell((0, 0.32, 0), (0.45, 0.5, 0.45)),                       # skull
+        _ell((-0.48, 0.22, 0), (0.13, 0.42, 0.2), rz=0.12),          # ear L
+        _ell((0.48, 0.22, 0), (0.13, 0.42, 0.2), rz=-0.12),          # ear R
+        _ell((0, 0.02, 0.3), (0.3, 0.32, 0.32)),                     # jowls
+        _ell((0, 0.18, 0.6), (0.13, 0.11, 0.11)),                    # nose
+        _ell((-0.16, 0.5, 0.34), (0.11, 0.09, 0.1)),                 # eye bump
+        _ell((0.16, 0.5, 0.34), (0.11, 0.09, 0.1)),                  # eye bump
+    ]
+    heads.append((droopy, (0.85, 0.45, 0.1)))
+
+    # 4. red: rabbity — round head with cheeks, two upright splayed
+    # ears, little paws held together in front
+    rabbit = [
+        _ell((0, 0.26, 0), (0.42, 0.44, 0.4)),                       # head
+        _ell((-0.2, 0.82, -0.02), (0.12, 0.34, 0.1), rz=0.28, taper=0.4),  # ear
+        _ell((0.2, 0.82, -0.02), (0.12, 0.34, 0.1), rz=-0.28, taper=0.4), # ear
+        _ell((-0.18, 0.1, 0.3), (0.16, 0.14, 0.14)),                 # cheek
+        _ell((0.18, 0.1, 0.3), (0.16, 0.14, 0.14)),                  # cheek
+        _ell((-0.1, -0.24, 0.34), (0.1, 0.12, 0.1)),                 # paw
+        _ell((0.1, -0.24, 0.34), (0.1, 0.12, 0.1)),                  # paw
+        _ell((0, -0.1, 0), (0.38, 0.3, 0.34)),                       # body
+    ]
+    heads.append((rabbit, (0.8, 0.12, 0.12)))
+
+    # 5. purple: big-nose face turned aside — heavy brow, one pointed
+    # ear up, a large nose pointing forward-down
+    bignose = [
+        _ell((0, 0.3, 0), (0.46, 0.52, 0.44), ry=-0.3),              # skull
+        _ell((0.22, 0.8, -0.05), (0.12, 0.26, 0.09), rz=-0.4, taper=0.55),  # ear
+        _ell((-0.1, 0.25, 0.46), (0.22, 0.18, 0.26), rx=0.35),       # nose
+        _ell((-0.02, 0.52, 0.3), (0.3, 0.11, 0.15), ry=-0.2),        # brow
+        _ell((0.05, -0.05, 0.25), (0.3, 0.22, 0.22)),                # jaw
+    ]
+    heads.append((bignose, (0.6, 0.2, 0.65)))
+
+    # 6. blue: laughing head thrown back — tilted skull, wide-open jaw
+    # notched away from it, pointy crest spikes on top
+    laugher = [
+        _ell((0, 0.34, -0.06), (0.42, 0.46, 0.4), rx=-0.5),          # skull (back)
+        _ell((0, 0.02, 0.3), (0.3, 0.2, 0.28), rx=0.5),              # open jaw
+        _ell((-0.05, 0.7, 0.18), (0.26, 0.12, 0.2), rx=-0.5),        # upper lip
+        _ell((-0.22, 0.78, -0.18), (0.09, 0.22, 0.07), rz=0.55, taper=0.6),  # spike
+        _ell((0.0, 0.84, -0.22), (0.09, 0.24, 0.07), rz=0.0, taper=0.6),     # spike
+        _ell((0.24, 0.78, -0.18), (0.09, 0.22, 0.07), rz=-0.55, taper=0.6),  # spike
+        _ell((-0.14, 0.52, 0.26), (0.1, 0.09, 0.09), rx=-0.4),       # eye bump
+        _ell((0.14, 0.52, 0.26), (0.1, 0.09, 0.09), rx=-0.4),        # eye bump
+    ]
+    heads.append((laugher, (0.25, 0.2, 0.75)))
+    return heads
+
+
 def scene_07_toon_faces(scale: float = 1.0) -> Scene:
-    """Six colored toon blobs on a green mirror floor under a blue sky."""
+    """Six sculpted toon heads on a green mirror floor under a blue sky
+    (/root/reference/outputs/o_07_toon_faces.png)."""
     s = Scene()
     s.set_camera(eye=(0, 1.1, 7.2), center=(0, 0.2, 0), up=(0, 1, 0),
                  fovy=38, width=int(600 * scale), height=int(300 * scale))
-    s.add_light((0, 8, 8), (0.75, 0.75, 0.75))
+    # key light BEHIND the heads: the golden's shadows fall toward the
+    # camera and its floor shows a broad specular patch behind the row
+    s.add_light((0, 9, -6), (0.62, 0.62, 0.62))
+    s.add_light((0, 8, 10), (0.5, 0.5, 0.5))   # front-top fill
     s.ambience = (0.3, 0.3, 0.3)
     s.background = (0.55, 0.65, 0.95)
-    cols = [(0.15, 0.6, 0.7), (0.8, 0.75, 0.45), (0.85, 0.45, 0.1),
-            (0.8, 0.12, 0.12), (0.6, 0.2, 0.65), (0.25, 0.2, 0.75)]
-    xs = np.linspace(-3.4, 3.4, 6)
-    for i, (x, c) in enumerate(zip(xs, cols)):
-        v, f = _blob(0.55, 24, 28, seed=20 + i, bump=0.22, squash=(1.0, 1.08, 0.9),
-                     center=(0, 0, 0))
-        v = shapes.transformed(v, rotate_y=float(i) * 0.6, translate=(x, 0.05, 0))
-        s.add_mesh(TriangleMesh(v, f, material=Material(
-            ambient=tuple(0.35 * k for k in c), diffuse=tuple(0.7 * k for k in c),
-            specular=(0.5, 0.5, 0.5), shininess=60), draw_mode=PHONG))
+    parts = _Parts(s)
+    xs = np.linspace(-3.45, 3.45, 6)
+    yaws = (0.5, 0.05, -0.05, 0.1, -0.45, -0.25)
+    for (head, c), x, ry in zip(_toon_heads(), xs, yaws):
+        mat = Material(
+            ambient=tuple(0.55 * k for k in c), diffuse=tuple(0.75 * k for k in c),
+            specular=(0.5, 0.5, 0.5), shininess=60)
+        for vf in head:
+            parts.add("head", mat, vf)
+        parts.emit(translate=(x, -0.04, 0), ry=ry)
+    # bright-center green mirror floor: low ambient darkens the frame
+    # edges, a broad specular lobe lifts the band behind the heads like
+    # the golden
     s.add_plane((0, -0.5, 0), (0, 1, 0), Material(
-        ambient=(0.0, 0.3, 0.0), diffuse=(0.05, 0.55, 0.05),
-        specular=(0.2, 0.2, 0.2), shininess=10, mirror=0.35))
+        ambient=(0.0, 0.12, 0.0), diffuse=(0.07, 0.7, 0.07),
+        specular=(0.25, 0.9, 0.25), shininess=3, mirror=0.35))
     s.max_depth = 3
     return s
 
