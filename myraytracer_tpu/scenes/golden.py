@@ -307,7 +307,7 @@ def scene_04_molecule(scale: float = 1.0, n_atoms: int = 420) -> Scene:
 def scene_05_cube(scale: float = 1.0) -> Scene:
     """Single flat-shaded cube, blue sides / red top, white background."""
     s = Scene()
-    s.set_camera(eye=(3.3, 2.0, 4.7), center=(0, -0.05, 0), up=(0, 1, 0),
+    s.set_camera(eye=(4.3, 2.6, 6.1), center=(0, -0.05, 0), up=(0, 1, 0),
                  fovy=36, width=int(500 * scale), height=int(500 * scale))
     s.add_light((6.5, 3.5, 3.0), (0.8, 0.8, 0.8))
     s.ambience = (0.35, 0.35, 0.35)
@@ -606,7 +606,7 @@ def scene_08_office(scale: float = 1.0, tess: int = 6, resolution=None) -> Scene
     """
     w, h = resolution if resolution else (int(500 * scale), int(500 * scale))
     s = Scene()
-    s.set_camera(eye=(0.1, 1.6, 4.4), center=(0.0, 1.1, 0), up=(0, 1, 0),
+    s.set_camera(eye=(-0.7, 1.6, 4.6), center=(0.4, 0.95, 0), up=(0, 1, 0),
                  fovy=60, width=w, height=h)
     s.add_light((0, 2.55, 2.2), (0.75, 0.75, 0.72))
     s.add_light((-1.6, 2.3, 3.6), (0.45, 0.45, 0.45))
@@ -621,15 +621,15 @@ def scene_08_office(scale: float = 1.0, tess: int = 6, resolution=None) -> Scene
             v, f = _tess_box(size, center, t)
         s.add_mesh(TriangleMesh(v, f, material=mat, draw_mode=mode))
 
-    white = Material(ambient=(0.5, 0.5, 0.5), diffuse=(0.5, 0.5, 0.5), shadowable=False)
+    white = Material(ambient=(0.6, 0.6, 0.6), diffuse=(0.55, 0.55, 0.55), shadowable=False)
     dark_gray = Material(ambient=(0.16, 0.16, 0.16), diffuse=(0.25, 0.25, 0.25))
-    maroon = Material(ambient=(0.16, 0.03, 0.03), diffuse=(0.3, 0.06, 0.06))
-    yellow = Material(ambient=(0.42, 0.42, 0.2), diffuse=(0.52, 0.5, 0.25),
+    maroon = Material(ambient=(0.24, 0.045, 0.045), diffuse=(0.4, 0.08, 0.08))
+    yellow = Material(ambient=(0.48, 0.47, 0.23), diffuse=(0.56, 0.54, 0.27),
                       specular=(0.1, 0.1, 0.1), shininess=8)
     green = Material(ambient=(0.05, 0.25, 0.05), diffuse=(0.1, 0.45, 0.1))
     blue = Material(ambient=(0.1, 0.1, 0.4), diffuse=(0.2, 0.2, 0.75),
                     specular=(0.15, 0.15, 0.15), shininess=10)
-    glass_white = Material(ambient=(0.55, 0.55, 0.58), diffuse=(0.4, 0.4, 0.42),
+    glass_white = Material(ambient=(0.72, 0.72, 0.75), diffuse=(0.4, 0.4, 0.42),
                            shadowable=False)
 
     W, H, D = 5.5, 2.9, 9.0   # room extents (narrow enough that both
@@ -649,7 +649,10 @@ def scene_08_office(scale: float = 1.0, tess: int = 6, resolution=None) -> Scene
 
     # window wall at z = -2.2 : dark frame grid, open panes to the back room
     add_box((W, 0.54, 0.12), (0, 0.285, zw), dark_gray, t=T // 2 + 1)
-    add_box((W, 0.49, 0.12), (0, H - 0.255, zw), dark_gray, t=T // 2 + 1)
+    # the band above the glass reads as lit gray wall in the golden
+    wall_gray = Material(ambient=(0.38, 0.38, 0.39), diffuse=(0.42, 0.42, 0.44),
+                         shadowable=False)
+    add_box((W, 0.49, 0.12), (0, H - 0.255, zw), wall_gray, t=T // 2 + 1)
     for x in (-W/2 + 0.18, -0.05, W/2 - 0.18):
         add_box((0.22, H - 0.02, 0.12), (x, H/2, zw), dark_gray)
     add_box((W, 0.16, 0.12), (0, 2.05, zw), dark_gray)
@@ -660,9 +663,9 @@ def scene_08_office(scale: float = 1.0, tess: int = 6, resolution=None) -> Scene
     # own; the scene lights sit in the front room, so these surfaces are
     # ambient-heavy (self-lit look) instead of adding a third light that
     # would inflate the benchmark's shadow-query cost
-    bright = Material(ambient=(1.65, 1.65, 1.7), diffuse=(0.28, 0.28, 0.3),
+    bright = Material(ambient=(1.15, 1.15, 1.2), diffuse=(0.28, 0.28, 0.3),
                       shadowable=False)
-    bfloor = Material(ambient=(0.95, 0.95, 1.0), diffuse=(0.25, 0.25, 0.27),
+    bfloor = Material(ambient=(0.72, 0.72, 0.76), diffuse=(0.25, 0.25, 0.27),
                       shadowable=False)
     v, f = _tess_quad((-W/2, 0, zw), (-W/2, 0, zb), (-W/2, H, zw), T, T)
     s.add_mesh(TriangleMesh(v, f, material=bright, draw_mode=FLAT))
@@ -692,7 +695,9 @@ def scene_08_office(scale: float = 1.0, tess: int = 6, resolution=None) -> Scene
     for iy in range(2):
         for ix in range(4):
             cz = 0.35 + ix * 1.12
-            add_box((0.55, 1.28, 1.05), (W/2 - 0.45, 0.72 + iy * 1.34, cz),
+            # top row reaches the ceiling like the golden's full-height wall
+            cy, ch = (0.72, 1.28) if iy == 0 else (2.09, 1.58)
+            add_box((0.55, ch, 1.05), (W/2 - 0.45, cy, cz),
                     yellow, t=T // 2 + 1)
             # horizontal seam between the two door rows + vertical seams
             add_box((0.57, 0.02, 1.07), (W/2 - 0.45, 0.72 + iy * 1.34 - 0.64, cz),
@@ -706,11 +711,14 @@ def scene_08_office(scale: float = 1.0, tess: int = 6, resolution=None) -> Scene
             s.add_mesh(TriangleMesh(v, f, material=dark_gray, draw_mode=PHONG))
 
     # green sideboard under the window
-    add_box((W - 1.0, 0.85, 0.6), (0, 0.43, zw + 0.45), green, t=T // 2 + 1)
+    add_box((W - 1.0, 0.62, 0.6), (0, 0.31, zw + 0.45), green, t=T // 2 + 1)
 
-    # curved desk: kidney profile extruded (tessellated top + skirt)
+    # curved desk: kidney profile extruded (tessellated top + skirt);
+    # the golden's desk top reads near-white-yellow under the key light
+    desk_yellow = Material(ambient=(0.55, 0.54, 0.3), diffuse=(0.75, 0.73, 0.4),
+                           specular=(0.12, 0.12, 0.12), shininess=8)
     desk_top, desk_skirt = _desk(tess=max(24, 8 * T))
-    s.add_mesh(TriangleMesh(desk_top[0], desk_top[1], material=yellow, draw_mode=FLAT))
+    s.add_mesh(TriangleMesh(desk_top[0], desk_top[1], material=desk_yellow, draw_mode=FLAT))
     s.add_mesh(TriangleMesh(desk_skirt[0], desk_skirt[1], material=dark_gray, draw_mode=FLAT))
     # desk legs
     for lx, lz in [(-0.8, 1.1), (0.9, 0.9), (0.1, 2.0)]:
