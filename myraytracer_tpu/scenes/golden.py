@@ -228,17 +228,17 @@ def scene_03_mirror(scale: float = 1.0) -> Scene:
     """Infinite mirror corridor: one red sphere between two facing mirror
     walls over a flat-shaded fan floor — deep mirror-chain stress test."""
     s = Scene()
-    s.set_camera(eye=(-2.2, 0.55, 1.5), center=(2.4, 0.0, 0.1), up=(0, 1, 0),
+    s.set_camera(eye=(-2.2, 0.5, 1.4), center=(2.4, 0.05, -0.35), up=(0, 1, 0),
                  fovy=55, width=int(1000 * scale), height=int(400 * scale))
     s.add_light((0, 6, 2), (0.75, 0.75, 0.75))
     s.ambience = (0.12, 0.12, 0.12)
     s.background = (0, 0, 0)
-    s.add_sphere((0.3, -0.1, -0.2), 0.45, Material(
+    s.add_sphere((0.5, -0.17, -0.2), 0.28, Material(
         ambient=(0.3, 0, 0), diffuse=(0.75, 0.04, 0.04),
         specular=(0.5, 0.5, 0.5), shininess=60))
     # two facing mirror walls perpendicular to x: the camera looks down the
     # corridor, so reflections repeat the sphere in a receding row
-    wall = Material(ambient=(0, 0, 0), diffuse=(0.02, 0.02, 0.02),
+    wall = Material(ambient=(0.02, 0.02, 0.02), diffuse=(0.05, 0.05, 0.05),
                     specular=(0, 0, 0), shininess=1, mirror=0.85, shadowable=False)
     s.add_plane((2.4, 0, 0), (-1, 0, 0), wall)
     s.add_plane((-2.4, 0, 0), (1, 0, 0), wall)
@@ -248,8 +248,12 @@ def scene_03_mirror(scale: float = 1.0) -> Scene:
     rim = np.stack([np.cos(ang) * rad, np.full(n_seg, -0.55), np.sin(ang) * rad], 1)
     verts = np.concatenate([[[0, -0.55, 0]], rim]).astype(np.float32)
     faces = np.asarray([[0, 1 + (i + 1) % n_seg, 1 + i] for i in range(n_seg)], np.int32)
+    # the golden's floor is specular-dominated: bright under the camera,
+    # fading toward the horizon (no distance attenuation in this Phong
+    # model, so the radial gradient must come from the broad lobe)
     s.add_mesh(TriangleMesh(verts, faces, material=Material(
-        ambient=(0.25, 0.25, 0.25), diffuse=(0.55, 0.55, 0.55), shininess=3),
+        ambient=(0.15, 0.15, 0.15), diffuse=(0.28, 0.28, 0.28),
+        specular=(0.55, 0.55, 0.55), shininess=2),
         draw_mode=FLAT))
     s.max_depth = 20
     return s
@@ -259,8 +263,8 @@ def scene_04_molecule(scale: float = 1.0, n_atoms: int = 420) -> Scene:
     """Space-filling 'protein': hundreds of CPK-colored spheres in a corner
     room with a glossy dark floor."""
     s = Scene()
-    s.set_camera(eye=(5.2, 1.1, 7.5), center=(0.6, 0.4, 0), up=(0, 1, 0),
-                 fovy=44, width=int(500 * scale), height=int(500 * scale))
+    s.set_camera(eye=(8.5, 2.3, 12.0), center=(0.6, 0.4, 0), up=(0, 1, 0),
+                 fovy=40, width=int(500 * scale), height=int(500 * scale))
     s.add_light((6, 7, 7), (0.65, 0.65, 0.65))
     s.add_light((-2, 5, 8), (0.25, 0.25, 0.25))
     s.ambience = (0.3, 0.3, 0.3)
@@ -273,7 +277,7 @@ def scene_04_molecule(scale: float = 1.0, n_atoms: int = 420) -> Scene:
         step = rng.normal(size=3)
         step[1] *= 0.55
         cand = pos[-1] + step * 0.42
-        cand *= 0.995  # keep the blob compact
+        cand *= 0.985  # keep the blob compact
         pos.append(cand)
     pos = np.asarray(pos)
     pos -= pos.mean(0)

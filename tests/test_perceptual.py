@@ -27,13 +27,13 @@ SCALE = 0.25
 
 #: (mean cell delta, max cell delta) allowed per scene — calibrated
 #: 2026-08-17 at margins of ~+0.03 mean / +0.10 max over measured values
-#: (o_05/o_07/o_08 re-calibrated 2026-08-18 after the reframe/
-#: sculpted-heads/office-brightness fidelity pass)
+#: (o_03/o_04/o_05/o_07/o_08 re-calibrated 2026-08-18 after the
+#: round-2 fidelity pass: reframes, sculpted heads, brightness structure)
 THRESHOLDS = {
     "o_01_spheres": (0.10, 0.31),
     "o_02_shadow": (0.09, 0.30),
-    "o_03_mirror": (0.12, 0.35),
-    "o_04_molecule": (0.12, 0.40),
+    "o_03_mirror": (0.075, 0.26),
+    "o_04_molecule": (0.10, 0.28),
     "o_05_cube": (0.05, 0.27),
     "o_06_mask": (0.12, 0.55),
     "o_07_toon_faces": (0.115, 0.28),
