@@ -835,16 +835,16 @@ def scene_09_rings(scale: float = 1.0, seg: int = 64) -> Scene:
     s.background = (0, 0, 0)
 
     v1, f1 = shapes.torus(1.25, 0.42, seg, seg // 2)
-    v1 = shapes.transformed(v1, rotate_y=0.2, translate=(-1.0, 0.1, 0.3))
+    # both rings tilt toward the viewer so their holes read like the
+    # golden's chain-link composition
+    v1 = _rot_xyz(v1, rx=0.9, ry=0.2) + np.float32((-1.0, 0.1, 0.3))
     s.add_mesh(TriangleMesh(v1, f1, material=Material(
         ambient=(0.25, 0.24, 0.08), diffuse=(0.5, 0.48, 0.15),
         specular=(0.5, 0.5, 0.4), shininess=45, mirror=0.25), draw_mode=PHONG))
 
     v2, f2 = shapes.torus(1.25, 0.42, seg, seg // 2)
-    # stand the second torus up and interlock
-    rot_x = np.float32([[1, 0, 0], [0, 0, -1], [0, 1, 0]])
-    v2 = (v2 @ rot_x.T)
-    v2 = shapes.transformed(v2, rotate_y=0.35, translate=(0.9, -0.4, 0.2))
+    # stand the second torus up-tilted and interlock
+    v2 = _rot_xyz(v2, rx=1.05, ry=-0.6) + np.float32((0.9, -0.4, 0.2))
     s.add_mesh(TriangleMesh(v2, f2, material=Material(
         ambient=(0.3, 0.14, 0.05), diffuse=(0.6, 0.3, 0.1),
         specular=(0.5, 0.4, 0.3), shininess=45, mirror=0.25), draw_mode=PHONG))

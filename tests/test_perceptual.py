@@ -38,7 +38,7 @@ THRESHOLDS = {
     "o_06_mask": (0.12, 0.55),
     "o_07_toon_faces": (0.115, 0.28),
     "o_08_office": (0.15, 0.45),
-    "o_09_rings": (0.09, 0.36),
+    "o_09_rings": (0.09, 0.30),
     "o_10_pokemon": (0.10, 0.29),
 }
 
