@@ -187,11 +187,11 @@ def _creature_mat(col, spec=0.25, shin=30):
 def scene_01_spheres(scale: float = 1.0) -> Scene:
     """Three mirror spheres (G/R/B, increasing size) on a dark mirror floor."""
     s = Scene()
-    s.set_camera(eye=(0.0, 2.0, 7.6), center=(0.4, 0.55, 0), up=(0, 1, 0),
+    s.set_camera(eye=(0.0, 2.0, 7.6), center=(0.3, 0.45, 0), up=(0, 1, 0),
                  fovy=45, width=int(500 * scale), height=int(500 * scale))
-    s.add_light((-4, 8, 7), (0.55, 0.55, 0.55))
-    s.add_light((5, 6, 7), (0.35, 0.35, 0.35))
-    s.ambience = (0.25, 0.25, 0.25)
+    s.add_light((-4, 8, 7), (0.75, 0.75, 0.75))
+    s.add_light((5, 6, 7), (0.5, 0.5, 0.5))
+    s.ambience = (0.32, 0.32, 0.32)
     s.background = (0, 0, 0)
     sphere = lambda col: Material(
         ambient=tuple(0.35 * c for c in col), diffuse=tuple(0.65 * c for c in col),

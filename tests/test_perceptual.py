@@ -30,7 +30,7 @@ SCALE = 0.25
 #: (o_03/o_04/o_05/o_07/o_08 re-calibrated 2026-08-18 after the
 #: round-2 fidelity pass: reframes, sculpted heads, brightness structure)
 THRESHOLDS = {
-    "o_01_spheres": (0.10, 0.31),
+    "o_01_spheres": (0.10, 0.25),
     "o_02_shadow": (0.09, 0.30),
     "o_03_mirror": (0.075, 0.26),
     "o_04_molecule": (0.10, 0.28),
