@@ -403,6 +403,31 @@ def intersect_clusters_pallas(
     cl_bbmin = jax.lax.stop_gradient(scene.cl_bbmin)
     cl_bbmax = jax.lax.stop_gradient(scene.cl_bbmax)
 
+    # ---- SMEM guard: the order/lb scalar-prefetch tables are [S, K+2]
+    # (i32 + f32) and must fit the ~1 MB SMEM budget together. Large
+    # cluster counts x large ray batches overflow it (measured: K=601
+    # with a 131072-ray batch asks for 2 x 640 KB and fails to compile),
+    # so the batch is split into chunks whose tables fit; results
+    # concatenate exactly (each ray is independent).
+    import os as _os
+
+    smem_budget = int(_os.environ.get("MRT_SMEM_TABLE_BUDGET", "600000"))
+    Kc = cl_bbmin.shape[0]
+    max_sub = max(RAY_TILE // SUB, smem_budget // (8 * (Kc + 2)))
+    r_chunk = max(RAY_TILE, (max_sub * SUB // RAY_TILE) * RAY_TILE)
+    if R > r_chunk:
+        outs = []
+        for i in range(0, R, r_chunk):
+            sl = slice(i, min(i + r_chunk, R))
+            outs.append(intersect_clusters_pallas(
+                scene, o[sl], d[sl],
+                t_max=None if t_max is None else t0[sl],
+                any_hit=any_hit,
+                active=None if active is None else act[sl],
+                cl_const=cl_const, interpret=interpret))
+        return TriHit(jnp.concatenate([h.idx for h in outs]),
+                      jnp.concatenate([h.t for h in outs]))
+
     n_tiles = (R + RAY_TILE - 1) // RAY_TILE
     Rp = n_tiles * RAY_TILE
     pad = Rp - R

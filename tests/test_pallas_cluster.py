@@ -85,3 +85,32 @@ def test_end_to_end_render_with_pallas_flag():
     diff = np.abs(a - b).max(axis=-1)
     assert (diff < 1e-3).mean() > 0.99
     assert np.median(diff) < 1e-5
+
+
+@needs_pallas
+def test_smem_chunking_agrees(monkeypatch):
+    """Forcing a tiny SMEM table budget splits the ray batch into chunks;
+    results must equal the unchunked call exactly (rays are independent).
+    Guards the large-K path: at K~600 clusters a 131072-ray any-hit batch
+    overflows the real 1 MB SMEM budget unless chunked."""
+    rng = np.random.default_rng(77)
+    tri = random_tris(500, rng, spread=8.0)
+    scene = _scene_with_tris(tri)
+    o, d = _rays(rng, 4096)
+
+    want = intersect_clusters_pallas(scene, o, d, interpret=True)
+    # any-hit reference with finite bounds (the shadow-query shape that
+    # overflowed), computed BEFORE the budget shrinks
+    t_max = jnp.full((4096,), 20.0)
+    want_ah = intersect_clusters_pallas(scene, o, d, t_max=t_max,
+                                        any_hit=True, interpret=True)
+
+    # budget that allows only ~1 ray tile worth of subgroups per chunk
+    monkeypatch.setenv("MRT_SMEM_TABLE_BUDGET", "1")
+    got = intersect_clusters_pallas(scene, o, d, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got.idx), np.asarray(want.idx))
+    np.testing.assert_array_equal(np.asarray(got.t), np.asarray(want.t))
+    got_ah = intersect_clusters_pallas(scene, o, d, t_max=t_max,
+                                       any_hit=True, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got_ah.idx) >= 0,
+                                  np.asarray(want_ah.idx) >= 0)

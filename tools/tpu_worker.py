@@ -53,6 +53,13 @@ def main() -> None:
     glb = {"jax": jax, "jnp": jnp, "np": np, "WORK": work,
            "__name__": "__tpu_worker__"}
 
+    # env snapshot: snippets commonly set MRT_*/BENCH_* tuning knobs via
+    # os.environ; restoring the startup environment between jobs keeps one
+    # experiment's knobs from silently contaminating every later
+    # measurement in this long-lived process (this exact leak skewed a
+    # round-2 session's numbers by ~15%)
+    env0 = dict(os.environ)
+
     while True:
         if os.path.exists(os.path.join(qdir, "STOP")):
             print("worker: STOP seen, exiting", flush=True)
@@ -76,6 +83,9 @@ def main() -> None:
         except BaseException:
             buf.write("\n" + traceback.format_exc())
             status = "error"
+        finally:
+            os.environ.clear()
+            os.environ.update(env0)
         dt = time.time() - t0
         with open(out_path, "w") as f:
             f.write(f"# status={status} wall={dt:.2f}s\n")
