@@ -342,8 +342,10 @@ def _measure() -> None:
     for i in range(3):
         t0 = time.perf_counter()
         loss, grads = run_fb()
-        sync(loss)
-        sync(grads)
+        # ONE combined scalar fetch: each sync is a host<->device round
+        # trip through the tunnel (~10-25 ms), so syncing loss and grads
+        # separately would bill a second round trip to the program time
+        sync(loss + jnp.asarray(jax.tree.leaves(grads)[0]).sum())
         fb_times.append(time.perf_counter() - t0)
         fwd_bwd_s = min(fb_times)
         result.update(
