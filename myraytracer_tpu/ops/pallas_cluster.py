@@ -64,6 +64,10 @@ RAY_TILE = 1024
 import os as _os
 
 SUB = int(_os.environ.get("MRT_SUB", "512"))
+if not (0 < SUB <= RAY_TILE and RAY_TILE % SUB == 0):
+    raise ValueError(
+        f"MRT_SUB={SUB} must divide RAY_TILE={RAY_TILE}: out-of-range values"
+        " would silently run zero subgroups (every ray a miss)")
 
 #: rays per dense-solve chunk inside the kernel. Sweep measured
 #: 512 == 256 > 128 > 64 (0.522 / 0.522 / 0.536 / 0.563 s office fwd):
@@ -409,8 +413,6 @@ def intersect_clusters_pallas(
     # with a 131072-ray batch asks for 2 x 640 KB and fails to compile),
     # so the batch is split into chunks whose tables fit; results
     # concatenate exactly (each ray is independent).
-    import os as _os
-
     smem_budget = int(_os.environ.get("MRT_SMEM_TABLE_BUDGET", "600000"))
     Kc = cl_bbmin.shape[0]
     max_sub = max(RAY_TILE // SUB, smem_budget // (8 * (Kc + 2)))
@@ -450,9 +452,8 @@ def intersect_clusters_pallas(
     # direction-interval variant everywhere (measured SLOWER for
     # closest-hit: 0.515 vs 0.466 s — looser lists cost more kernel
     # iterations than the cheaper test saves).
-    import os as _os
     mode = _os.environ.get("MRT_PHASE1", "auto")
-    use_hull = (mode != "exact" and any_hit and t_max is not None)
+    use_hull = (mode in ("auto", "hull") and any_hit and t_max is not None)
     if mode == "frustum" or use_hull:
         o_s = o4[:, :3].reshape(n_sub, SUB, 3)
         d_s = d4[:, :3].reshape(n_sub, SUB, 3)
@@ -523,11 +524,9 @@ def intersect_clusters_pallas(
         ],
     )
 
-    import os
-
     kernel = functools.partial(
         _kernel, M=M, any_hit=any_hit, subs=subs,
-        early_exit=os.environ.get("MRT_PALLAS_EARLY_EXIT", "1") == "1")
+        early_exit=_os.environ.get("MRT_PALLAS_EARLY_EXIT", "1") == "1")
     t_hit, idx = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,

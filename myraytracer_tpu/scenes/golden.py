@@ -700,17 +700,18 @@ def scene_08_office(scale: float = 1.0, tess: int = 6, resolution=None) -> Scene
         for ix in range(4):
             cz = 0.35 + ix * 1.12
             # top row reaches the ceiling like the golden's full-height wall
-            cy, ch = (0.72, 1.28) if iy == 0 else (2.09, 1.58)
+            cy, ch = (0.72, 1.28) if iy == 0 else (2.12, 1.52)
             add_box((0.55, ch, 1.05), (W/2 - 0.45, cy, cz),
                     yellow, t=T // 2 + 1)
-            # horizontal seam between the two door rows + vertical seams
-            add_box((0.57, 0.02, 1.07), (W/2 - 0.45, 0.72 + iy * 1.34 - 0.64, cz),
+            # horizontal seam at the row's bottom edge + full-height
+            # vertical seam, both tracking the (resized) door extents
+            add_box((0.57, 0.02, 1.07), (W/2 - 0.45, cy - ch / 2, cz),
                     dark_gray)
-            add_box((0.57, 1.30, 0.02), (W/2 - 0.45, 0.72 + iy * 1.34, cz - 0.53),
+            add_box((0.57, ch, 0.02), (W/2 - 0.45, cy, cz - 0.53),
                     dark_gray)
             # handle knobs proud of the door face
             v, f = shapes.uv_sphere(0.035, 6, 8,
-                                    center=(W/2 - 0.74, 0.72 + iy * 1.34,
+                                    center=(W/2 - 0.74, cy - ch / 2 + 0.64,
                                             cz - 0.40))
             s.add_mesh(TriangleMesh(v, f, material=dark_gray, draw_mode=PHONG))
 

@@ -7,9 +7,12 @@ NAME=$1
 SRC=$2
 TMO=${3:-900}
 JOB="$Q/50_${NAME}.py"
-cp "$SRC" "$JOB.tmp" && mv "$JOB.tmp" "$JOB"
 DONE="$Q/50_${NAME}.done"
 OUT="$Q/50_${NAME}.out"
+# clear stale markers from an earlier timed-out job of the same name,
+# or the next wait would return the OLD job's output as if it were new
+rm -f "$DONE" "$OUT"
+cp "$SRC" "$JOB.tmp" && mv "$JOB.tmp" "$JOB"
 t0=$(date +%s)
 while [ ! -f "$DONE" ]; do
   if [ $(( $(date +%s) - t0 )) -gt "$TMO" ]; then
