@@ -112,10 +112,11 @@ def _starfield_texture(w=1024, h=512, seed=5):
     cloud = rng.normal(0, 1, (h // 8 + 1, w // 8 + 1)).astype(np.float32)
     cloud = np.repeat(np.repeat(cloud, 8, 0), 8, 1)[:h, :w]
     cloud = (cloud + np.roll(cloud, 3, 0) + np.roll(cloud, 5, 1)) / 3
-    sky += (0.10 * band * (1.0 + 0.5 * cloud))[..., None] * np.float32(
+    sky += (0.20 * band * (1.0 + 0.5 * cloud))[..., None] * np.float32(
         [0.75, 0.85, 1.0])
-    # stars: many faint, few bright, denser inside the band
-    for n_stars, lo, hi in [(5200, 0.12, 0.4), (900, 0.4, 0.95)]:
+    # stars: many faint, few bright, denser inside the band (bright
+    # enough to survive the backdrop quad's n.l lighting attenuation)
+    for n_stars, lo, hi in [(6500, 0.25, 0.6), (1400, 0.6, 1.0)]:
         xsr = rng.integers(0, w, n_stars)
         ysr = rng.integers(0, h, n_stars)
         keep = rng.uniform(0, 1, n_stars) < (0.45 + 0.55 * band[ysr, xsr])
