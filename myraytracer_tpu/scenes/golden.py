@@ -212,7 +212,10 @@ def scene_02_shadow(scale: float = 1.0) -> Scene:
     s = Scene()
     s.set_camera(eye=(0, 0, 7), center=(0, 0, 0), up=(0, 1, 0),
                  fovy=40, width=int(600 * scale), height=int(400 * scale))
-    s.add_light((-5, 2, 10), (0.9, 0.9, 0.95))
+    # the golden's light sits just beside the small red sphere: grazing
+    # illumination on both big spheres and the red sphere's shadow cast
+    # onto the blue limb
+    s.add_light((0.35, 0.05, 1.9), (0.9, 0.9, 0.95))
     s.ambience = (0.03, 0.03, 0.03)
     s.background = (0, 0, 0)
     s.add_sphere((-4.6, 0, -0.6), 4.0, Material(

@@ -31,7 +31,7 @@ SCALE = 0.25
 #: round-2 fidelity pass: reframes, sculpted heads, brightness structure)
 THRESHOLDS = {
     "o_01_spheres": (0.10, 0.25),
-    "o_02_shadow": (0.09, 0.30),
+    "o_02_shadow": (0.065, 0.28),
     "o_03_mirror": (0.075, 0.26),
     "o_04_molecule": (0.10, 0.28),
     "o_05_cube": (0.05, 0.27),
