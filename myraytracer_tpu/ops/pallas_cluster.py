@@ -79,7 +79,7 @@ RCHUNK = 512
 def _kernel(order_ref, meta_ref, first_ref, count_ref, lb_ref, o_ref,
             d_ref, t0_ref, act_ref, bb_ref, tris_hbm, t_out, idx_out,
             buf, sems, *, M: int, any_hit: bool, subs: int,
-            early_exit: bool):
+            early_exit: bool, group: int):
     """One ray block; each of its ``subs`` subgroups runs its own
     compacted cluster list sequentially (double-buffered DMA within).
 
@@ -109,19 +109,14 @@ def _kernel(order_ref, meta_ref, first_ref, count_ref, lb_ref, o_ref,
                 tris_hbm.at[kk], buf.at[slot], sems.at[slot]
             )
 
-        @pl.when(n_touched > 0)
-        def _():
-            dma(0, 0).start()
+        nbuf = 2 * group
+        for j in range(group):
+            @pl.when(j < n_touched)
+            def _(j=j):
+                dma(j, j).start()
 
-        def loop_body(carry):
-            g, _ = carry
-            slot = jax.lax.rem(g, 2)
-            nxt = jax.lax.rem(g + 1, 2)
-
-            @pl.when(g + 1 < n_touched)
-            def _():
-                dma(nxt, g + 1).start()
-
+        def process_cluster(g):
+            slot = jax.lax.rem(g, nbuf)
             dma(slot, g).wait()
 
             kk = order_ref[sid, g]
@@ -132,6 +127,8 @@ def _kernel(order_ref, meta_ref, first_ref, count_ref, lb_ref, o_ref,
             bbmax = row[3:6]
 
             tc = buf[slot]                         # [16, M] solve constants
+            tb = t_out[sl]
+            ib = idx_out[sl]
             slot_ok = (
                 jax.lax.broadcasted_iota(jnp.int32, (1, M), 1) < count
             )                                      # [1, M]
@@ -143,8 +140,6 @@ def _kernel(order_ref, meta_ref, first_ref, count_ref, lb_ref, o_ref,
             oc = o_ref[sl, 0:3]                # [RC, 3]
             dc = d_ref[sl, 0:3]
             ivc = 1.0 / dc
-            tb = t_out[sl]
-            ib = idx_out[sl]
             ac = act_ref[sl]
 
             ts0 = (bbmin[None, :] - oc) * ivc
@@ -216,18 +211,38 @@ def _kernel(order_ref, meta_ref, first_ref, count_ref, lb_ref, o_ref,
                     solve_chunk(cl, oc[csl], dc[csl], touch[csl],
                                 tb[csl], ib[csl])
 
+        def loop_body(carry):
+            # ``group`` clusters per iteration: the next group's DMAs
+            # start before this group solves, and the early-exit
+            # reduction + loop branch are paid once per group instead of
+            # once per cluster
+            g, _ = carry
+            for j in range(group):
+                gj = g + group + j
+
+                @pl.when(gj < n_touched)
+                def _(gj=gj):
+                    dma(jax.lax.rem(gj, nbuf), gj).start()
+
+            for j in range(group):
+                gj = g + j
+
+                @pl.when(gj < n_touched)
+                def _(gj=gj):
+                    process_cluster(gj)
+
             if not early_exit:
-                return (g + 1, False)
+                return (g + group, False)
             # subgroup-finished test against POST-solve state
             ac_live = act_ref[sl] > 0
             if any_hit:
                 done = jnp.logical_not(
                     jnp.any(ac_live & (idx_out[sl] < 0)))
             else:
-                lb_next = lb_ref[sid, g + 1]
+                lb_next = lb_ref[sid, g + group]
                 done = jnp.logical_not(
                     jnp.any(ac_live & (lb_next < t_out[sl])))
-            return (g + 1, done)
+            return (g + group, done)
 
         if early_exit:
             def loop_cond(carry):
@@ -237,16 +252,20 @@ def _kernel(order_ref, meta_ref, first_ref, count_ref, lb_ref, o_ref,
             g_f, stopped = jax.lax.while_loop(
                 loop_cond, loop_body, (jnp.int32(0), False))
 
-            # drain: an early exit leaves cluster g_f's prefetch in flight
-            @pl.when(stopped & (g_f < n_touched))
-            def _():
-                dma(jax.lax.rem(g_f, 2), g_f).wait()
+            # drain: an early exit leaves the next group's prefetches in
+            # flight
+            for j in range(group):
+                @pl.when(stopped & (g_f + j < n_touched))
+                def _(j=j):
+                    dma(jax.lax.rem(g_f + j, nbuf), g_f + j).wait()
         else:
-            def fori_body(g, c):
-                loop_body((g, False))
+            trips = jax.lax.div(n_touched + group - 1, group)
+
+            def fori_body(i, c):
+                loop_body((i * group, False))
                 return c
 
-            jax.lax.fori_loop(0, n_touched, fori_body, 0, unroll=False)
+            jax.lax.fori_loop(0, trips, fori_body, 0, unroll=False)
 
     for sub in range(subs):
         run_sub(sub)
@@ -487,11 +506,15 @@ def intersect_clusters_pallas(
     order = jnp.argsort(key, axis=1, stable=True)
     lb_sorted = jnp.take_along_axis(key, order, axis=1)
     n_touched = jnp.sum(touched.astype(jnp.int32), axis=1)   # [S]
+    group = int(_os.environ.get("MRT_GROUP", "1"))
+    # lb is read unguarded at column g+group inside the kernel, so pad
+    # at least group+1 columns (2 keeps the group=1 layout unchanged)
+    padk = max(2, group + 1)
     order_pad = jnp.concatenate(
-        [order.astype(jnp.int32), jnp.zeros((n_sub, 2), jnp.int32)],
+        [order.astype(jnp.int32), jnp.zeros((n_sub, padk), jnp.int32)],
         axis=1)
     lb_pad = jnp.concatenate(
-        [lb_sorted, jnp.full((n_sub, 2), isx.INF)], axis=1)
+        [lb_sorted, jnp.full((n_sub, padk), isx.INF)], axis=1)
 
     # packed bbox rows [K, 6]; first/count ride as scalar prefetch
     bb = jnp.concatenate([cl_bbmin, cl_bbmax], axis=1)
@@ -519,14 +542,15 @@ def intersect_clusters_pallas(
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, 16, M), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((2 * group, 16, M), jnp.float32),
+            pltpu.SemaphoreType.DMA((2 * group,)),
         ],
     )
 
     kernel = functools.partial(
         _kernel, M=M, any_hit=any_hit, subs=subs,
-        early_exit=_os.environ.get("MRT_PALLAS_EARLY_EXIT", "1") == "1")
+        early_exit=_os.environ.get("MRT_PALLAS_EARLY_EXIT", "1") == "1",
+        group=group)
     t_hit, idx = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
