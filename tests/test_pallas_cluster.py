@@ -114,3 +114,57 @@ def test_smem_chunking_agrees(monkeypatch):
                                        any_hit=True, interpret=True)
     np.testing.assert_array_equal(np.asarray(got_ah.idx) >= 0,
                                   np.asarray(want_ah.idx) >= 0)
+
+
+@needs_pallas
+def test_anyhit_hull_phase1_is_superset():
+    """The hull phase-1 (segment swept volume) must mark a SUPERSET of
+    the clusters any active ray's exact per-ray slab test touches —
+    a false negative would silently drop occluders (wrong shadows)."""
+    from myraytracer_tpu.ops import intersect as isx
+    from myraytracer_tpu.ops import pallas_cluster as pc
+
+    rng = np.random.default_rng(3)
+    tri = random_tris(400, rng, spread=9.0)
+    scene = _scene_with_tris(tri)
+    cl_bbmin, cl_bbmax = scene.cl_bbmin, scene.cl_bbmax
+
+    SUBV = pc.SUB
+    R = 4 * SUBV
+    # shadow-like bundles: origins clustered per subgroup, one target
+    # point per subgroup (a light), finite t_max at the target
+    o = np.zeros((R, 3), np.float32)
+    d = np.zeros((R, 3), np.float32)
+    t0 = np.zeros((R,), np.float32)
+    act = rng.uniform(0, 1, R) > 0.2
+    for s in range(R // SUBV):
+        centr = rng.uniform(-6, 6, 3)
+        light = rng.uniform(-8, 8, 3)
+        orig = centr + rng.normal(0, 0.8, (SUBV, 3))
+        vec = light - orig
+        dist = np.linalg.norm(vec, axis=1)
+        d[s*SUBV:(s+1)*SUBV] = (vec / dist[:, None]).astype(np.float32)
+        o[s*SUBV:(s+1)*SUBV] = orig.astype(np.float32)
+        t0[s*SUBV:(s+1)*SUBV] = dist.astype(np.float32)
+
+    n_sub = R // SUBV
+    key = pc._phase1_anyhit_hull(
+        jnp.asarray(o).reshape(n_sub, SUBV, 3),
+        jnp.asarray(d).reshape(n_sub, SUBV, 3),
+        jnp.asarray(t0).reshape(n_sub, SUBV),
+        jnp.asarray(act).reshape(n_sub, SUBV),
+        cl_bbmin, cl_bbmax)
+    hull_touch = np.asarray(key) < isx.INF          # [S, K]
+
+    # exact per-ray union (the kernel's in-kernel test semantics)
+    box_hit, tmin_k = isx.ray_aabb(
+        jnp.asarray(o)[:, None, :], (1.0 / jnp.asarray(d))[:, None, :],
+        cl_bbmin[None], cl_bbmax[None])
+    ray_touch = (np.asarray(box_hit) & act[:, None]
+                 & (np.asarray(tmin_k) <= t0[:, None]))
+    exact_touch = ray_touch.reshape(n_sub, SUBV, -1).any(axis=1)
+
+    missed = exact_touch & ~hull_touch
+    assert not missed.any(), f"hull dropped {missed.sum()} touched clusters"
+    # and it should not be wildly loose either (sanity, not correctness)
+    assert hull_touch.sum() <= 4 * max(1, exact_touch.sum())
