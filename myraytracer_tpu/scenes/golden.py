@@ -671,9 +671,9 @@ def scene_08_office(scale: float = 1.0, tess: int = 6, resolution=None) -> Scene
     # own; the scene lights sit in the front room, so these surfaces are
     # ambient-heavy (self-lit look) instead of adding a third light that
     # would inflate the benchmark's shadow-query cost
-    bright = Material(ambient=(1.15, 1.15, 1.2), diffuse=(0.28, 0.28, 0.3),
+    bright = Material(ambient=(0.92, 0.92, 0.97), diffuse=(0.28, 0.28, 0.3),
                       shadowable=False)
-    bfloor = Material(ambient=(0.72, 0.72, 0.76), diffuse=(0.25, 0.25, 0.27),
+    bfloor = Material(ambient=(0.6, 0.6, 0.64), diffuse=(0.25, 0.25, 0.27),
                       shadowable=False)
     v, f = _tess_quad((-W/2, 0, zw), (-W/2, 0, zb), (-W/2, H, zw), T, T)
     s.add_mesh(TriangleMesh(v, f, material=bright, draw_mode=FLAT))
