@@ -65,9 +65,12 @@ def _trace_tiled(scene, o, d, cfg: tr.TraceConfig, tile: int) -> jnp.ndarray:
 #: branch-level culling).
 import os as _os
 
-#: measured knee on v5e (office 1080p fwd): 32 -> 1.03s, 64 -> 0.84s,
-#: 128 -> 1.07s, 256 -> 1.92s
-BLOCK = int(_os.environ.get("MRT_BLOCK", "64"))
+#: round-1 knee was 64 (32 -> 1.03s, 64 -> 0.84s, 128 -> 1.07s,
+#: 256 -> 1.92s); after the packed-gather change the knee moved to 32
+#: (32/64/128 -> 0.320/0.343/0.422 s fwd, 0.512/0.523/0.608 fwd+bwd):
+#: a SUB=512 subgroup of a 32-wide block is a squarer 16x32 footprint
+#: with tighter touched-cluster unions
+BLOCK = int(_os.environ.get("MRT_BLOCK", "32"))
 
 #: rays per loss/grad remat tile (whole screen blocks). Measured on the
 #: office 1080p fwd+bwd (v5e, Pallas path): 4096 -> 1.54 s,
