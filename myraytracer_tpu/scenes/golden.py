@@ -263,7 +263,7 @@ def scene_03_mirror(scale: float = 1.0) -> Scene:
     return s
 
 
-def scene_04_molecule(scale: float = 1.0, n_atoms: int = 650) -> Scene:
+def scene_04_molecule(scale: float = 1.0, n_atoms: int = 420) -> Scene:
     """Space-filling 'protein': hundreds of CPK-colored spheres in a corner
     room with a glossy dark floor."""
     s = Scene()
@@ -281,7 +281,7 @@ def scene_04_molecule(scale: float = 1.0, n_atoms: int = 650) -> Scene:
         step = rng.normal(size=3)
         step[1] *= 0.55
         cand = pos[-1] + step * 0.42
-        cand *= 0.975  # keep the blob compact (dense like the golden)
+        cand *= 0.985  # keep the blob compact
         pos.append(cand)
     pos = np.asarray(pos)
     pos -= pos.mean(0)
