@@ -1,8 +1,8 @@
 """Inverse-rendering demo: recover scene parameters from a target image.
 
 Builds a small scene, renders a target with the "true" parameters, then
-perturbs the sphere's diffuse color, the sphere position and the light
-position and optimizes them back with the differentiable renderer
+perturbs the sphere's diffuse color and the light position and optimizes
+them back with the differentiable renderer
 (fixed-hit-topology gradients; the capability the C++/CUDA reference has
 no counterpart for).
 

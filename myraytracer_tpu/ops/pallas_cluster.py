@@ -507,6 +507,9 @@ def intersect_clusters_pallas(
     lb_sorted = jnp.take_along_axis(key, order, axis=1)
     n_touched = jnp.sum(touched.astype(jnp.int32), axis=1)   # [S]
     group = int(_os.environ.get("MRT_GROUP", "1"))
+    if group < 1:
+        raise ValueError(f"MRT_GROUP={group} must be >= 1: zero/negative"
+                         " groups would never DMA a cluster (kernel hang)")
     # lb is read unguarded at column g+group inside the kernel, so pad
     # at least group+1 columns (2 keeps the group=1 layout unchanged)
     padk = max(2, group + 1)
