@@ -352,7 +352,13 @@ def _phase1_anyhit_hull(o_s, d_s, t0_s, act_s, cl_bbmin, cl_bbmax):
     a3 = act_s[:, :, None]
     any_act = jnp.any(act_s, axis=1)                      # [S]
 
-    e_s = o_s + t0_s[:, :, None] * d_s                    # endpoints
+    # an infinite occlusion bound (unbounded any-hit ray) would make
+    # e = o + inf*d produce inf*0 = NaN on zero direction components,
+    # silently dropping occluders through the hull min/max; clamping t0
+    # to a huge finite value keeps the hull a conservative superset
+    # (overflow to +/-inf in the product only widens it further)
+    t0_c = jnp.minimum(t0_s[:, :, None], big)
+    e_s = o_s + t0_c * d_s                                # endpoints
     olo = jnp.min(jnp.where(a3, o_s, big), axis=1)        # [S, 3]
     ohi = jnp.max(jnp.where(a3, o_s, -big), axis=1)
     elo = jnp.min(jnp.where(a3, e_s, big), axis=1)
@@ -426,15 +432,23 @@ def intersect_clusters_pallas(
     cl_bbmin = jax.lax.stop_gradient(scene.cl_bbmin)
     cl_bbmax = jax.lax.stop_gradient(scene.cl_bbmax)
 
-    # ---- SMEM guard: the order/lb scalar-prefetch tables are [S, K+2]
-    # (i32 + f32) and must fit the ~1 MB SMEM budget together. Large
-    # cluster counts x large ray batches overflow it (measured: K=601
-    # with a 131072-ray batch asks for 2 x 640 KB and fails to compile),
-    # so the batch is split into chunks whose tables fit; results
-    # concatenate exactly (each ray is independent).
+    group = int(_os.environ.get("MRT_GROUP", "1"))
+    if group < 1:
+        raise ValueError(f"MRT_GROUP={group} must be >= 1: zero/negative"
+                         " groups would never DMA a cluster (kernel hang)")
+    # lb is read unguarded at column g+group inside the kernel, so pad
+    # at least group+1 columns (2 keeps the group=1 layout unchanged)
+    padk = max(2, group + 1)
+
+    # ---- SMEM guard: the order/lb scalar-prefetch tables are
+    # [S, K+padk] (i32 + f32) and must fit the ~1 MB SMEM budget
+    # together. Large cluster counts x large ray batches overflow it
+    # (measured: K=601 with a 131072-ray batch asks for 2 x 640 KB and
+    # fails to compile), so the batch is split into chunks whose tables
+    # fit; results concatenate exactly (each ray is independent).
     smem_budget = int(_os.environ.get("MRT_SMEM_TABLE_BUDGET", "600000"))
     Kc = cl_bbmin.shape[0]
-    max_sub = max(RAY_TILE // SUB, smem_budget // (8 * (Kc + 2)))
+    max_sub = max(RAY_TILE // SUB, smem_budget // (8 * (Kc + padk)))
     r_chunk = max(RAY_TILE, (max_sub * SUB // RAY_TILE) * RAY_TILE)
     if R > r_chunk:
         outs = []
@@ -506,13 +520,6 @@ def intersect_clusters_pallas(
     order = jnp.argsort(key, axis=1, stable=True)
     lb_sorted = jnp.take_along_axis(key, order, axis=1)
     n_touched = jnp.sum(touched.astype(jnp.int32), axis=1)   # [S]
-    group = int(_os.environ.get("MRT_GROUP", "1"))
-    if group < 1:
-        raise ValueError(f"MRT_GROUP={group} must be >= 1: zero/negative"
-                         " groups would never DMA a cluster (kernel hang)")
-    # lb is read unguarded at column g+group inside the kernel, so pad
-    # at least group+1 columns (2 keeps the group=1 layout unchanged)
-    padk = max(2, group + 1)
     order_pad = jnp.concatenate(
         [order.astype(jnp.int32), jnp.zeros((n_sub, padk), jnp.int32)],
         axis=1)

@@ -124,10 +124,10 @@ def resolve_hit(scene, o, d, kind, idx, texture_filter: str = "nearest",
     with ``where`` — compute-all-select is the vector-machine idiom; the
     per-branch work is tiny next to traversal.
 
-    ``need_colors=False`` skips the texture fetch (diffuse comes back as
-    zeros unless textured) for callers that only need geometry +
-    mirror/shadowable — the topology-recording pass
-    (tracer.trace_topology).
+    ``need_colors=False`` skips the diffuse/texture work entirely —
+    diffuse comes back as zeros for every ray (the texture fetch is also
+    gated off) — for callers that only need geometry + mirror/shadowable,
+    i.e. the topology-recording pass (tracer.trace_topology).
 
     ``geom`` is the packed-row cache (:class:`ShadeGeom`); pass it in
     when resolving many batches against the same scene (the tracer does)

@@ -6,12 +6,13 @@ Q=${TPU_WORKER_QUEUE:-/tmp/tpuq}
 NAME=$1
 SRC=$2
 TMO=${3:-900}
-JOB="$Q/50_${NAME}.py"
-DONE="$Q/50_${NAME}.done"
-OUT="$Q/50_${NAME}.out"
-# clear stale markers from an earlier timed-out job of the same name,
-# or the next wait would return the OLD job's output as if it were new
-rm -f "$DONE" "$OUT"
+# unique id per submission: a timed-out job of the same name may STILL be
+# running in the worker, and would otherwise write DONE/OUT files that the
+# next same-name wait loop mistakes for its own result
+ID=$(date +%s)_$$
+JOB="$Q/50_${NAME}_${ID}.py"
+DONE="$Q/50_${NAME}_${ID}.done"
+OUT="$Q/50_${NAME}_${ID}.out"
 cp "$SRC" "$JOB.tmp" && mv "$JOB.tmp" "$JOB"
 t0=$(date +%s)
 while [ ! -f "$DONE" ]; do
