@@ -36,6 +36,7 @@ Env knobs:
   BENCH_RES         explicit "WxH" resolution override (testing)
   BENCH_DEADLINE_S  wall-clock self-deadline in seconds (default 3000)
   BENCH_FWD_ONLY    set to 1 to skip the fwd+bwd program
+  BENCH_NO_AA       set to 1 to skip the AA-included stage
   BENCH_NO_WORKER   set to 1 to skip worker delegation
   BENCH_PING_S      worker liveness-ping timeout (default 120)
   TPU_WORKER_QUEUE  worker queue dir (default /tmp/tpuq)
@@ -358,6 +359,41 @@ def _measure() -> None:
             total_wall_s=round(time.perf_counter() - t_start, 1),
         )
         _emit()
+
+    # ---- AA-included forward (apples-to-apples vs the reference GPU) --
+    # The reference's 5.31 s GPU number ALWAYS includes its adaptive-
+    # supersampling second kernel (/root/reference/mytracer_gpu.cu:83-109),
+    # so this stage measures render + the same AA rule (render_aa, office
+    # compaction budget from scenes.golden.GOLDEN_SCENES).
+    if os.environ.get("BENCH_NO_AA") != "1":
+        from myraytracer_tpu.ops.render import render_aa
+        from myraytracer_tpu.scenes.golden import GOLDEN_SCENES
+
+        aa_budget = GOLDEN_SCENES["o_08_office"][1]
+        baseline_aa_rays_per_s = (1920 * 1080) / 5.31  # README.md:11
+
+        t0 = time.perf_counter()
+        img = render_aa(scene, sc.camera, budget_frac=aa_budget)
+        sync(img)
+        result["aa_compile_s"] = round(time.perf_counter() - t0, 1)
+        sys.stderr.write(
+            f"bench: AA compiled+ran in {result['aa_compile_s']:.1f}s\n")
+        sys.stderr.flush()
+        aa_times = []
+        for i in range(3):
+            t0 = time.perf_counter()
+            img = render_aa(scene, sc.camera, budget_frac=aa_budget)
+            sync(img)
+            aa_times.append(time.perf_counter() - t0)
+            aa_s = min(aa_times)
+            result.update(
+                aa_s=round(aa_s, 4),
+                aa_rays_per_s=round(n_rays / aa_s, 1),
+                aa_vs_baseline=round(
+                    (n_rays / aa_s) / baseline_aa_rays_per_s, 3),
+                total_wall_s=round(time.perf_counter() - t_start, 1),
+            )
+            _emit()
 
 
 if __name__ == "__main__":

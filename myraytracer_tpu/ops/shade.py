@@ -226,6 +226,33 @@ def resolve_hit(scene, o, d, kind, idx, texture_filter: str = "nearest",
 
     valid = kind != KIND_MISS
     point = o + t[:, None] * d
+    # fp32 surface re-projection: near-tangent hits solve t with a large
+    # relative error (the sqrt of a near-zero discriminant / a
+    # near-singular Cramer system), leaving `point` measurably inside the
+    # surface — shadow rays then exit through their OWN primitive at
+    # t > EPS_HIT and silhouette pixels self-shadow (observed: molecule
+    # silhouettes darkened vs the fp64 oracle by up to 0.3). Snapping the
+    # point back onto the exact surface is the identity in real
+    # arithmetic, differentiable, and kills the acne without any epsilon
+    # tuning. (The fp64 reference never needs this; this is the fp32
+    # TPU-native counterpart of its 1e-4 shadow offset.)
+    if scene.n_spheres:
+        point = jnp.where(
+            is_s[:, None],
+            c + r[:, None] * vm.normalize(point - c), point)
+    if scene.n_planes:
+        point = jnp.where(
+            is_p[:, None],
+            point - vm.dot(n_p, point - c_p)[:, None] * n_p, point)
+    if scene.n_cylinders:
+        foot = cc + vm.dot(point - cc, ca)[:, None] * ca
+        point = jnp.where(
+            is_c[:, None],
+            foot + cr[:, None] * vm.normalize(point - foot), point)
+    if scene.n_tris:
+        point = jnp.where(
+            is_t[:, None],
+            point - vm.dot(n_flat, point - p2)[:, None] * n_flat, point)
     mat = geom.mat16[mat_id]                        # [R, 16]
     if need_colors:
         diffuse = jnp.where(has_override[:, None], diffuse_override,

@@ -184,6 +184,59 @@ class OracleRenderer:
         i = int(np.argmin(t))
         return float(t[i]), i
 
+    def candidate_ts(self, o, d):
+        """ALL positive hit distances along a ray, sorted ascending.
+
+        Used to certify ambiguous pixels: when the two closest hits are
+        within fp32 resolution of each other (e.g. a ray passing exactly
+        through a mesh edge shared by two triangles), the closest-hit
+        winner — and therefore the pixel color — is tie-broken
+        arbitrarily, and a full-image comparison must not count such a
+        pixel as a disagreement.
+        """
+        ts = []
+        for i in range(self.sphere_center.shape[0]):
+            ts.append(_hit_sphere(o, d, self.sphere_center[i], self.sphere_radius[i]))
+        for i in range(self.plane_center.shape[0]):
+            ts.append(_hit_plane(o, d, self.plane_center[i], self.plane_normal[i]))
+        for i in range(self.cyl_center.shape[0]):
+            ts.append(_hit_cylinder(o, d, self.cyl_center[i], self.cyl_axis[i],
+                                    self.cyl_radius[i], self.cyl_height[i]))
+        if self.tv.shape[0]:
+            p0 = self.vp[self.tv[:, 0]]
+            p1 = self.vp[self.tv[:, 1]]
+            p2 = self.vp[self.tv[:, 2]]
+            c1 = p0 - p2
+            c2 = p1 - p2
+            c3 = -d[None, :].repeat(p0.shape[0], 0)
+            c4 = o[None, :] - p2
+
+            def det(a, b, c):
+                return (
+                    a[:, 0] * (b[:, 1] * c[:, 2] - b[:, 2] * c[:, 1])
+                    - b[:, 0] * (a[:, 1] * c[:, 2] - a[:, 2] * c[:, 1])
+                    + c[:, 0] * (a[:, 1] * b[:, 2] - a[:, 2] * b[:, 1])
+                )
+
+            s = det(c1, c2, c3)
+            ok = np.abs(s) > 1e-10
+            s_safe = np.where(ok, s, 1.0)
+            t = det(c1, c2, c4) / s_safe
+            al = det(c4, c2, c3) / s_safe
+            be = det(c1, c4, c3) / s_safe
+            ga = 1.0 - al - be
+            ok &= (t > EPS_HIT) & (al >= 0) & (al <= 1) & (be >= 0) & (be <= 1) & (ga >= 0) & (ga <= 1)
+            ts.extend(np.where(ok, t, np.inf).tolist())
+        ts = sorted(t for t in ts if np.isfinite(t))
+        return ts
+
+    def is_tie_pixel(self, x, y, rel=1e-5):
+        """True when the closest hit through pixel (x, y) is ambiguous:
+        two candidate hits within relative ``rel`` in t."""
+        eye, d = self._ray(x, y)
+        ts = self.candidate_ts(eye, d)
+        return len(ts) >= 2 and ts[1] <= ts[0] * (1.0 + rel)
+
     def _resolve(self, o, d, t, kind, idx):
         point = o + t * d
         if kind == "sphere":
@@ -272,22 +325,57 @@ class OracleRenderer:
             depth += 1
         return color
 
-    def render(self):
+    def _ray(self, x, y):
+        """Primary ray through fractional pixel coords (scalar twin of
+        models/camera.Camera.primary_rays)."""
         import math
 
         cam = self.cam
-        W, H = cam.width, cam.height
         eye = np.asarray(cam.eye, np.float64)
         view = _normalize(np.asarray(cam.center, np.float64) - eye)
         right = _normalize(np.cross(view, np.asarray(cam.up, np.float64)))
         up = np.cross(right, view)
         tan_half = math.tan(math.radians(cam.fovy) / 2)
-        aspect = W / H
+        aspect = cam.width / cam.height
+        u = ((x + 0.5) / cam.width) * 2 - 1
+        v = 1 - ((y + 0.5) / cam.height) * 2
+        return eye, _normalize(view + u * tan_half * aspect * right + v * tan_half * up)
+
+    def render(self):
+        cam = self.cam
+        W, H = cam.width, cam.height
         img = np.zeros((H, W, 3))
         for y in range(H):
             for x in range(W):
-                u = ((x + 0.5) / W) * 2 - 1
-                v = 1 - ((y + 0.5) / H) * 2
-                d = _normalize(view + u * tan_half * aspect * right + v * tan_half * up)
+                eye, d = self._ray(x, y)
                 img[y, x] = np.minimum(self.trace(eye, d), 1.0)
         return img
+
+    def render_aa(self, img1=None, subp=4, threshold=0.02):
+        """Adaptive-supersampling second pass, per the reference rule
+        (mytracer_gpu.cu:162-229): for every NON-BORDER pixel whose
+        4-neighborhood squared-color deviation in the pass-1 copy exceeds
+        ``threshold``, re-shoot subp x subp stratified rays at cell
+        centers, average, clamp. Unbounded (no compaction budget) —
+        the exact semantics render_aa's static budget must reproduce.
+        """
+        if img1 is None:
+            img1 = self.render()
+        H, W = img1.shape[:2]
+        out = img1.copy()
+        steps = (np.arange(subp) / subp) - 0.5 + 1.0 / (2.0 * subp)
+        for y in range(1, H - 1):
+            for x in range(1, W - 1):
+                c = img1[y, x]
+                dev = sum(
+                    float(((c - img1[yy, xx]) ** 2).sum())
+                    for yy, xx in ((y, x - 1), (y, x + 1), (y - 1, x), (y + 1, x))
+                )
+                if dev > threshold:
+                    acc = np.zeros(3)
+                    for oy in steps:
+                        for ox in steps:
+                            eye, d = self._ray(x + ox, y + oy)
+                            acc += self.trace(eye, d)
+                    out[y, x] = np.minimum(acc / (subp * subp), 1.0)
+        return out

@@ -12,6 +12,8 @@ asserts the registered per-scene budget actually covers.
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from myraytracer_tpu.ops.render import AA_THRESHOLD, _deviation, render
 from myraytracer_tpu.scenes import golden
 

@@ -44,6 +44,7 @@ def test_assert_valid_image():
         assert_valid_image(np.zeros((4, 3)))
 
 
+@pytest.mark.slow
 def test_image_loss_grad_matches_flat():
     s = grad_scene()
     data = s.build()

@@ -51,6 +51,7 @@ def test_scene_builds_and_renders(name):
      "o_06_mask", "o_07_toon_faces", "o_08_office", "o_09_rings",
      "o_10_pokemon"],
 )
+@pytest.mark.slow
 def test_sampled_pixels_match_oracle(name):
     builder, _ = golden.GOLDEN_SCENES[name]
     sc = builder(scale=SCALE)
@@ -65,6 +66,7 @@ def test_sampled_pixels_match_oracle(name):
                                    err_msg=f"{name} pixel ({x},{y})")
 
 
+@pytest.mark.slow
 def test_mirror_scene_oracle_subset():
     # o_03 has max_depth 20; keep the oracle comparison to a few pixels
     sc = golden.scene_03_mirror(scale=SCALE)

@@ -78,6 +78,7 @@ def central_rays(cam, n=40, margin=0.3, seed=0):
     ("vertex_pos", 5e-3),
     ("mat_mirror", 1e-2),
 ])
+@pytest.mark.slow
 def test_directional_derivative_matches_fd(field, eps):
     s = grad_scene()
     data = s.build()
@@ -125,6 +126,46 @@ def test_texture_texel_grads_match_fd():
         return float(fn(p))
 
     fd = (at(eps) - at(-eps)) / (2 * eps)
+    analytic = float(jnp.vdot(g, v))
+    np.testing.assert_allclose(analytic, fd, rtol=0.08, atol=2e-3)
+
+
+@pytest.mark.parametrize("cam_field,eps", [
+    ("eye", 2e-3),
+    ("center", 2e-3),
+    ("up", 2e-3),
+])
+@pytest.mark.slow
+def test_camera_pose_grads_match_fd(cam_field, eps):
+    """d(loss)/d(camera pose): rays regenerated from the pose inside the
+    loss; gradients flow through primary_rays -> fixed-topology hit
+    re-solve (exact where visibility is locally constant)."""
+    import dataclasses
+
+    s = grad_scene()
+    data = s.build()
+    cam = s.camera
+    rng = np.random.default_rng(11)
+    xs = jnp.asarray(rng.uniform(cam.width * 0.3, cam.width * 0.7, 40),
+                     jnp.float32)
+    ys = jnp.asarray(rng.uniform(cam.height * 0.3, cam.height * 0.7, 40),
+                     jnp.float32)
+
+    def fn(val):
+        c2 = dataclasses.replace(cam, **{cam_field: val})
+        o, d = c2.primary_rays(xs, ys)
+        c = tr.trace(data, o, d)
+        return jnp.sum(c * jnp.asarray([0.3, 0.5, 0.2]))
+
+    base = jnp.asarray(getattr(cam, cam_field))
+    g = jax.grad(fn)(base)
+    assert np.isfinite(np.asarray(g)).all()
+    assert float(jnp.abs(g).sum()) > 0  # pose actually reaches the image
+
+    rng2 = np.random.default_rng(12)
+    v = rng2.normal(size=3).astype(np.float32)
+    v /= np.linalg.norm(v)
+    fd = (float(fn(base + eps * v)) - float(fn(base - eps * v))) / (2 * eps)
     analytic = float(jnp.vdot(g, v))
     np.testing.assert_allclose(analytic, fd, rtol=0.08, atol=2e-3)
 

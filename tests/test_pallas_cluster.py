@@ -87,6 +87,7 @@ def test_end_to_end_render_with_pallas_flag():
     assert np.median(diff) < 1e-5
 
 
+@pytest.mark.slow
 @needs_pallas
 def test_smem_chunking_agrees(monkeypatch):
     """Forcing a tiny SMEM table budget splits the ray batch into chunks;

@@ -58,6 +58,7 @@ def test_train_step_runs_and_reduces_loss():
     assert float(l2) < float(l1)  # SGD toward black reduces MSE
 
 
+@pytest.mark.slow
 def test_train_step_grads_match_unsharded():
     s = tiny_scene(8, 8)
     data = s.build()

@@ -17,6 +17,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from myraytracer_tpu.ops.render import render
 from myraytracer_tpu.scenes.golden import GOLDEN_SCENES
 from myraytracer_tpu.utils.image import read_png

@@ -65,6 +65,7 @@ def test_trace_shade_equals_trace(rich_scene):
     np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_two_phase_grads_match_full_remat(rich_scene, monkeypatch):
     sc = rich_scene
     scene = sc.build()
