@@ -50,8 +50,12 @@ except Exception:  # pragma: no cover
     PALLAS_OK = False
 
 #: rays per kernel instance (block size; must stay aligned with XLA's
-#: 1-D T(1024) layout tiling for the f32 per-ray operands)
-RAY_TILE = 1024
+#: 1-D T(1024) layout tiling for the f32 per-ray operands). Each grid
+#: program carries fixed pipeline overhead (measured ~20 us at 1024),
+#: so bigger tiles amortize it across more subgroups; env-tunable.
+import os as _os
+
+RAY_TILE = int(_os.environ.get("MRT_RAY_TILE", "1024"))
 
 #: compaction subgroup: each SUB-ray subgroup of a block gets its OWN
 #: touched-cluster list, so the union amplification of a whole 64x64
@@ -61,8 +65,6 @@ RAY_TILE = 1024
 #: is what makes small subgroups affordable here when they are not in
 #: the XLA scan path. Swept 256/512/1024 -> 0.500/0.490/0.523 s (office
 #: fwd, round 2); env-tunable for re-sweeps as other costs move.
-import os as _os
-
 SUB = int(_os.environ.get("MRT_SUB", "512"))
 if not (0 < SUB <= RAY_TILE and RAY_TILE % SUB == 0):
     raise ValueError(
@@ -196,7 +198,13 @@ def _kernel(order_ref, meta_ref, first_ref, count_ref, lb_ref, o_ref,
             # distance, so once every ray's best t is in front of this
             # cluster's slab entry (or the ray never touches it), the
             # whole dense solve is skipped — only the cheap slab test
-            # and the already-inflight DMA are paid
+            # and the already-inflight DMA are paid. (The vector-any
+            # guard costs a ~3 us vector->scalar sync per cluster, but
+            # removing it measured SLOWER — the skipped solves outweigh
+            # the sync. A group-fused [RC, group*M] joint solve was also
+            # tried and measured a WASH: group=2 matched group=1 + the
+            # phase-3 co-sort, group=1-fused regressed — the joint form
+            # pays in always-run slab tests and vreg pressure.)
             @pl.when(jnp.any(touch))
             def _():
                 # the solve runs in RCHUNK-ray chunks: a full-subgroup
@@ -269,6 +277,81 @@ def _kernel(order_ref, meta_ref, first_ref, count_ref, lb_ref, o_ref,
 
     for sub in range(subs):
         run_sub(sub)
+
+
+def _phase1_exact_kernel(o_ref, d_ref, t0_ref, act_ref, bbT_ref, key_out,
+                         *, subs: int):
+    """Per-ray exact slab compaction, fused in VMEM.
+
+    Same math as the XLA phase-1 (isx.ray_aabb over [S, SUB, K] + the
+    per-subgroup min/any reductions) but the [SUB, K]-shaped
+    intermediates never leave VMEM. The XLA form materializes several
+    [R, K(,3)]-sized tensors in HBM (~GBs of traffic for the office
+    1080p tile stream) and measured 39 ms of the 49 ms phase-1; this
+    kernel is compute-bound instead (~13 GFLOP total).
+
+    bbT is [6, Kp]: rows 0-2 bbmin xyz, rows 3-5 bbmax xyz, columns
+    padded to a lane multiple with degenerate boxes (+big/-big) that can
+    never be touched. Output key [subs, Kp] per tile: subgroup-min slab
+    entry (clamped >= 0) per cluster, INF = untouched.
+    """
+    RT = o_ref.shape[0]
+    sub_n = RT // subs
+    Kp = bbT_ref.shape[1]
+    for s in range(subs):
+        sl = slice(s * sub_n, (s + 1) * sub_n)
+        t0r = t0_ref[sl, :]                            # [sub_n, 1] (2D in:
+        act = act_ref[sl, :] > 0                       # Mosaic can't insert
+        tmin = jnp.full((sub_n, Kp), -isx.INF)         # a minor dim on bools)
+        tmax = jnp.full((sub_n, Kp), isx.INF)
+        for a in range(3):
+            oa = o_ref[sl, a:a + 1]                    # [sub_n, 1]
+            iva = 1.0 / d_ref[sl, a:a + 1]
+            lo = (bbT_ref[a:a + 1, :] - oa) * iva      # [sub_n, Kp]
+            hi = (bbT_ref[3 + a:4 + a, :] - oa) * iva
+            tmin = jnp.maximum(tmin, jnp.minimum(lo, hi))
+            tmax = jnp.minimum(tmax, jnp.maximum(lo, hi))
+        touch = (tmax >= tmin) & (tmax > isx.EPS_HIT)
+        touch &= act & (tmin <= t0r)
+        lb = jnp.min(jnp.where(touch, jnp.maximum(tmin, 0.0), isx.INF),
+                     axis=0, keepdims=True)            # [1, Kp]
+        key_out[0, s:s + 1, :] = lb
+
+
+def _phase1_exact_pallas(o4, d4, t0p, actp, cl_bbmin, cl_bbmax,
+                         n_tiles: int, subs: int):
+    """Run the fused exact phase-1; returns key [n_sub_total, K]."""
+    K = cl_bbmin.shape[0]
+    Kp = ((K + 127) // 128) * 128
+    big = jnp.float32(3e38)
+    bbT = jnp.concatenate([cl_bbmin.T, cl_bbmax.T], axis=0)   # [6, K]
+    if Kp != K:
+        pad = jnp.concatenate([jnp.full((3, Kp - K), big),
+                               jnp.full((3, Kp - K), -big)], axis=0)
+        bbT = jnp.concatenate([bbT, pad], axis=1)
+    grid_spec = pl.GridSpec(
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((RAY_TILE, 4), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((RAY_TILE, 4), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((RAY_TILE, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((RAY_TILE, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((6, Kp), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, subs, Kp), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    key = pl.pallas_call(
+        functools.partial(_phase1_exact_kernel, subs=subs),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_tiles, subs, Kp), jnp.float32),
+    )(o4, d4, t0p[:, None], actp[:, None], bbT)
+    return key.reshape(n_tiles * subs, Kp)[:, :K]
 
 
 def _phase1_frustum(o_s, d_s, t0_s, act_s, cl_bbmin, cl_bbmax):
@@ -499,6 +582,14 @@ def intersect_clusters_pallas(
             key = _phase1_frustum(o_s, d_s, t0_s, act_s,
                                   cl_bbmin, cl_bbmax)        # [S, K]
         touched = key < isx.INF
+    elif not interpret and _os.environ.get("MRT_PHASE1_KERNEL", "1") == "1":
+        # fused Pallas phase-1 (default on real TPUs): identical exact
+        # per-ray compaction, ~4x faster than the XLA form whose [R, K]
+        # intermediates round-trip HBM (measured 49 -> 13 ms on the
+        # office 1080p forward's tile stream)
+        key = _phase1_exact_pallas(o4, d4, t0p, actp, cl_bbmin, cl_bbmax,
+                                   n_tiles, subs)        # [S, K]
+        touched = key < isx.INF
     else:
         o_s = o4[:, :3].reshape(n_sub, SUB, 3)
         iv_s = jnp.pad(inv_d, ((0, pad), (0, 0)),
@@ -517,8 +608,15 @@ def intersect_clusters_pallas(
             jnp.where(ray_touch, jnp.maximum(tmin_k, 0.0), isx.INF),
             axis=1)
         key = jnp.where(touched, lb, isx.INF)            # [S, K]
-    order = jnp.argsort(key, axis=1, stable=True)
-    lb_sorted = jnp.take_along_axis(key, order, axis=1)
+    # ONE stable co-sort of (key, cluster-id) yields both the visit order
+    # and the sorted lower bounds. (argsort + take_along_axis looks the
+    # same but XLA lowers the take_along gather to a serial row gather —
+    # measured 212 us per 16384-ray tile = 27 ms per office forward,
+    # 25x the cost of the sort itself.)
+    ids = jnp.broadcast_to(
+        jnp.arange(K, dtype=jnp.int32)[None, :], key.shape)
+    lb_sorted, order = jax.lax.sort((key, ids), dimension=1,
+                                    is_stable=True, num_keys=1)
     n_touched = jnp.sum(touched.astype(jnp.int32), axis=1)   # [S]
     order_pad = jnp.concatenate(
         [order.astype(jnp.int32), jnp.zeros((n_sub, padk), jnp.int32)],
