@@ -22,6 +22,7 @@ Everything is jit-compiled once per (scene shapes, camera size, config).
 from __future__ import annotations
 
 import functools
+import os as _os
 
 import jax
 import jax.numpy as jnp
@@ -37,7 +38,7 @@ AA_THRESHOLD = 0.02
 #: the office 1080p fwd (v5e, per-subgroup compaction): 4096 -> 0.511 s,
 #: 16384 -> 0.478 s, 65536 -> 0.525 s; >=262144 exceeds the 1 MB SMEM
 #: budget for the kernel's scalar-prefetch order/lb tables.
-TILE = 1 << 14
+TILE = int(_os.environ.get("MRT_TILE", str(1 << 14)))
 
 
 def _trace_tiled(scene, o, d, cfg: tr.TraceConfig, tile: int) -> jnp.ndarray:
@@ -63,7 +64,6 @@ def _trace_tiled(scene, o, d, cfg: tr.TraceConfig, tile: int) -> jnp.ndarray:
 #: clusters (the TPU analogue of the 16x16 CUDA thread blocks,
 #: mytracer_gpu.cu:59-61 — there for memory coalescing, here for
 #: branch-level culling).
-import os as _os
 
 #: round-1 knee was 64 (32 -> 1.03s, 64 -> 0.84s, 128 -> 1.07s,
 #: 256 -> 1.92s); after the packed-gather change the knee moved to 32

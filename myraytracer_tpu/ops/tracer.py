@@ -28,6 +28,7 @@ scan's first iteration with weight 1.
 
 from __future__ import annotations
 
+import os as _os
 from typing import NamedTuple, Optional, Tuple
 
 import jax
@@ -245,16 +246,32 @@ def occluded_batched(
                 t_max=dist[li], any_hit=True,
             )
             shadowed_tri.append(tri.idx >= 0)
-        tri_shadow = jnp.stack(shadowed_tri).reshape(L * R)
 
-    of = o.reshape(L * R, 3)
-    df = l_dir.reshape(L * R, 3)
-    distf = dist.reshape(L * R)
-    actf = act2.reshape(L * R)
+    # flat order of the L x R any-hit batch: "light"-major keeps each
+    # light's cone of shadow rays in its own SUB-subgroups; "ray"-major
+    # interleaves all L lights of a half-size pixel footprint into one
+    # subgroup, sharing the cluster DMAs between lights whose occluder
+    # sets overlap (A/B knob; see PERF.md round-3 sweep)
+    ray_major = _os.environ.get("MRT_SHADOW_ORDER", "light") == "ray"
+
+    def flat(a):
+        if ray_major:
+            a = jnp.swapaxes(a, 0, 1)           # [R, L, ...]
+        return a.reshape(L * R, *a.shape[2:])
+
+    def unflat(a):
+        if ray_major:
+            return a.reshape(R, L).swapaxes(0, 1)
+        return a.reshape(L, R)
+
+    of = flat(o)
+    df = flat(l_dir)
+    distf = flat(dist)
+    actf = flat(act2)
 
     shadowed = jnp.zeros((L * R,), bool)
     if per_light:
-        shadowed |= tri_shadow
+        shadowed |= flat(jnp.stack(shadowed_tri))
     if scene.n_spheres:
         t_all = isx.ray_sphere(
             of[:, None, :], df[:, None, :],
@@ -283,7 +300,7 @@ def occluded_batched(
         tri = _closest_tris(scene, of, df, still, cfg, tri_flat, cl_tris,
                             t_max=distf, any_hit=True)
         shadowed |= tri.idx >= 0
-    return (shadowed & actf).reshape(L, R)
+    return unflat(shadowed & actf)
 
 
 def lighting(
