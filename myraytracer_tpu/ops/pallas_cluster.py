@@ -560,16 +560,20 @@ def intersect_clusters_pallas(
     subs = RAY_TILE // SUB
     n_sub = Rp // SUB
     K = cl_bbmin.shape[0]
-    # default ("auto"): exact per-ray compaction for closest-hit; the
-    # O(S*K) hull test (_phase1_anyhit_hull) for finite any-hit queries
-    # (shadow rays), whose segment structure makes the subgroup hull
-    # nearly as tight as the exact union at ~SUB x less phase-1 work.
-    # "exact" forces per-ray everywhere; "frustum" forces the
-    # direction-interval variant everywhere (measured SLOWER for
-    # closest-hit: 0.515 vs 0.466 s — looser lists cost more kernel
-    # iterations than the cheaper test saves).
+    # default ("auto"): exact per-ray compaction through the fused
+    # Pallas phase-1 everywhere it can compile — since the kernel made
+    # exact as cheap as the O(S*K) hull, its tighter any-hit lists win
+    # outright (office fwd 0.2838 vs 0.2876 s, bit-identical output).
+    # Interpret mode (tests/CPU) keeps the hull for finite any-hit
+    # queries: the XLA exact form materializes [R, K] intermediates.
+    # "hull"/"exact"/"frustum" force a specific variant ("frustum"
+    # measured SLOWER for closest-hit: 0.515 vs 0.466 s — looser lists
+    # cost more kernel iterations than the cheaper test saves).
     mode = _os.environ.get("MRT_PHASE1", "auto")
-    use_hull = (mode in ("auto", "hull") and any_hit and t_max is not None)
+    kernel_ok = (not interpret
+                 and _os.environ.get("MRT_PHASE1_KERNEL", "1") == "1")
+    use_hull = (any_hit and t_max is not None
+                and (mode == "hull" or (mode == "auto" and not kernel_ok)))
     if mode == "frustum" or use_hull:
         o_s = o4[:, :3].reshape(n_sub, SUB, 3)
         d_s = d4[:, :3].reshape(n_sub, SUB, 3)
@@ -582,7 +586,7 @@ def intersect_clusters_pallas(
             key = _phase1_frustum(o_s, d_s, t0_s, act_s,
                                   cl_bbmin, cl_bbmax)        # [S, K]
         touched = key < isx.INF
-    elif not interpret and _os.environ.get("MRT_PHASE1_KERNEL", "1") == "1":
+    elif kernel_ok:
         # fused Pallas phase-1 (default on real TPUs): identical exact
         # per-ray compaction, ~4x faster than the XLA form whose [R, K]
         # intermediates round-trip HBM (measured 49 -> 13 ms on the
