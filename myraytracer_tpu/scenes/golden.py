@@ -616,8 +616,10 @@ def scene_08_office(scale: float = 1.0, tess: int = 6, resolution=None) -> Scene
     s = Scene()
     s.set_camera(eye=(-0.7, 1.6, 4.6), center=(0.4, 0.95, 0), up=(0, 1, 0),
                  fovy=60, width=w, height=h)
-    s.add_light((0, 2.55, 2.2), (0.75, 0.75, 0.72))
-    s.add_light((-1.6, 2.3, 3.6), (0.45, 0.45, 0.45))
+    s.add_light((-0.35, 2.45, 2.3), (0.75, 0.75, 0.72))
+    # fill light sits near the camera plane so the near cabinet-front
+    # faces (+z normals at z > 4) read lit, as in the golden's bottom-right
+    s.add_light((-1.6, 2.4, 4.5), (0.45, 0.45, 0.45))
     s.ambience = (0.5, 0.5, 0.5)
     s.background = (0, 0, 0)
 
@@ -629,13 +631,20 @@ def scene_08_office(scale: float = 1.0, tess: int = 6, resolution=None) -> Scene
             v, f = _tess_box(size, center, t)
         s.add_mesh(TriangleMesh(v, f, material=mat, draw_mode=mode))
 
-    white = Material(ambient=(0.6, 0.6, 0.6), diffuse=(0.55, 0.55, 0.55), shadowable=False)
+    white = Material(ambient=(0.76, 0.76, 0.76), diffuse=(0.45, 0.45, 0.45), shadowable=False)
+    # the right wall faces the key lights near-normal; a full 0.55 diffuse
+    # would blow it to ~0.8 where the golden reads ~0.55
+    right_white = Material(ambient=(0.66, 0.66, 0.66), diffuse=(0.32, 0.32, 0.32),
+                           shadowable=False)
     dark_gray = Material(ambient=(0.16, 0.16, 0.16), diffuse=(0.25, 0.25, 0.25))
     maroon = Material(ambient=(0.24, 0.045, 0.045), diffuse=(0.4, 0.08, 0.08))
     yellow = Material(ambient=(0.48, 0.47, 0.23), diffuse=(0.56, 0.54, 0.27),
                       specular=(0.1, 0.1, 0.1), shininess=8)
-    green = Material(ambient=(0.05, 0.25, 0.05), diffuse=(0.1, 0.45, 0.1))
-    blue = Material(ambient=(0.1, 0.1, 0.4), diffuse=(0.2, 0.2, 0.75),
+    # the golden's green band reads pale yellow-green where lit
+    green = Material(ambient=(0.3, 0.38, 0.18), diffuse=(0.3, 0.42, 0.18))
+    # the golden's chairs read deep navy (near-black in shadow, ~0.4 blue
+    # on lit faces)
+    blue = Material(ambient=(0.05, 0.05, 0.22), diffuse=(0.1, 0.1, 0.45),
                     specular=(0.15, 0.15, 0.15), shininess=10)
     glass_white = Material(ambient=(0.72, 0.72, 0.75), diffuse=(0.4, 0.4, 0.42),
                            shadowable=False)
@@ -646,24 +655,52 @@ def scene_08_office(scale: float = 1.0, tess: int = 6, resolution=None) -> Scene
     # front-room floor / ceiling / side walls (tessellated quads -> real
     # triangles); they stop at the window wall so the back-room envelope
     # behind the glass doesn't z-fight them
+    # the golden's front room has NO visible ceiling: the top of frame is
+    # black background in the middle with the tall white side walls showing
+    # in both top corners — so the walls run high and the ceiling is open
+    HW = 8.0
     for p0, p1, p3, m in [
-        ((-W/2, 0, D/2), (W/2, 0, D/2), (-W/2, 0, zw), maroon),            # floor
-        ((-W/2, H, D/2), (W/2, H, D/2), (-W/2, H, zw), dark_gray),          # ceiling
-        ((-W/2, 0, D/2), (-W/2, 0, zw), (-W/2, H, D/2), white),             # left wall
-        ((W/2, 0, D/2), (W/2, 0, zw), (W/2, H, D/2), white),                # right wall
+        ((-W/2, 0, D/2), (W/2, 0, D/2), (-W/2, 0, zw), maroon),             # floor
+        ((-W/2, 0, D/2), (-W/2, 0, zw), (-W/2, HW, D/2), white),            # left wall
+        # right wall wound so the face normal points INTO the room (-x):
+        # FLAT diffuse is one-sided, and the golden's right wall reads lit.
+        # Above the cabinets the white shows only in the NEAR top corner
+        # (z >= 1.2) — the golden's top-middle stays black — so the wall is
+        # full-height only near the camera and room-height elsewhere
+        ((W/2, 0, zw), (W/2, 0, D/2), (W/2, H, zw), right_white),           # right wall
+        ((W/2, H, -0.5), (W/2, H, D/2), (W/2, 5.0, -0.5), right_white),     # right wall top
+        # the left wall continues above the window wall over the back room
+        # (shared building wall): up-corner rays that clear the H=2.9
+        # window wall still land on white, as in the golden's top-left
+        # corner (the golden's top-middle/right stays black, so only left)
+        ((-W/2, H, zw), (-W/2, H, zw - 3.4), (-W/2, HW, zw), white),        # left upper band
     ]:
         v, f = _tess_quad(p0, p1, p3, 2 * T, 2 * T)
         s.add_mesh(TriangleMesh(v, f, material=m, draw_mode=FLAT))
 
-    # window wall at z = -2.2 : dark frame grid, open panes to the back room
-    add_box((W, 0.54, 0.12), (0, 0.285, zw), dark_gray, t=T // 2 + 1)
-    # the band above the glass reads as lit gray wall in the golden
-    wall_gray = Material(ambient=(0.38, 0.38, 0.39), diffuse=(0.42, 0.42, 0.44),
-                         shadowable=False)
-    add_box((W, 0.49, 0.12), (0, H - 0.255, zw), wall_gray, t=T // 2 + 1)
-    for x in (-W/2 + 0.18, -0.05, W/2 - 0.18):
-        add_box((0.22, H - 0.02, 0.12), (x, H/2, zw), dark_gray)
-    add_box((W, 0.16, 0.12), (0, 2.05, zw), dark_gray)
+    # window wall at z = -2.2, taller than the back room (3.65): sill band
+    # 0..0.75 (the golden's green band tops out just below the glass),
+    # main glass 0.75..2.85 open to the back room, dark transom bar
+    # 2.85..3.05, LIT frosted transom panes 3.05..3.45 (the golden's row
+    # of three bright panes up top), dark head band 3.45..3.65, black
+    # above (open top).
+    WH = 3.65
+    add_box((W, 0.75, 0.12), (0, 0.375, zw), dark_gray, t=T // 2 + 1)
+    add_box((W, 0.20, 0.12), (0, 2.95, zw), dark_gray)
+    add_box((W, 0.20, 0.12), (0, 3.55, zw), dark_gray)
+    # frosted transom panes: dimmer than the back-room envelope (the
+    # golden's transoms average ~0.55 against the dark frame)
+    trans_white = Material(ambient=(0.5, 0.5, 0.52), diffuse=(0.2, 0.2, 0.2),
+                           shadowable=False)
+    add_box((W - 0.3, 0.40, 0.10), (0, 3.25, zw), trans_white)
+    # mullions sit 0.005 proud of the coplanar bands so the overlap
+    # doesn't z-fight (speckle in the round-2 render); the golden's
+    # center post is visibly wider than the side posts
+    # measured from the golden (column profile of the through-glass band):
+    # left mullion -2.67..-2.19, left pane to 0.11, wide center post
+    # 0.11..0.68, right pane runs all the way to the right wall
+    for x, bw in ((-2.43, 0.48), (0.395, 0.57)):
+        add_box((bw, WH, 0.13), (x, WH / 2, zw), dark_gray)
     # --- visible back room behind the glass (the golden shows a lit room
     # with its own cabinets, desk, chair and doors through the window) ---
     zb = zw - 3.4                                  # back room rear wall
@@ -671,9 +708,9 @@ def scene_08_office(scale: float = 1.0, tess: int = 6, resolution=None) -> Scene
     # own; the scene lights sit in the front room, so these surfaces are
     # ambient-heavy (self-lit look) instead of adding a third light that
     # would inflate the benchmark's shadow-query cost
-    bright = Material(ambient=(0.92, 0.92, 0.97), diffuse=(0.28, 0.28, 0.3),
+    bright = Material(ambient=(0.94, 0.94, 1.04), diffuse=(0.28, 0.28, 0.32),
                       shadowable=False)
-    bfloor = Material(ambient=(0.6, 0.6, 0.64), diffuse=(0.25, 0.25, 0.27),
+    bfloor = Material(ambient=(0.7, 0.7, 0.78), diffuse=(0.22, 0.22, 0.26),
                       shadowable=False)
     v, f = _tess_quad((-W/2, 0, zw), (-W/2, 0, zb), (-W/2, H, zw), T, T)
     s.add_mesh(TriangleMesh(v, f, material=bright, draw_mode=FLAT))
@@ -685,12 +722,22 @@ def scene_08_office(scale: float = 1.0, tess: int = 6, resolution=None) -> Scene
     s.add_mesh(TriangleMesh(v, f, material=bfloor, draw_mode=FLAT))
     v, f = _tess_quad((-W/2, H, zw), (W/2, H, zw), (-W/2, H, zb), T, T)
     s.add_mesh(TriangleMesh(v, f, material=bright, draw_mode=FLAT))
+    # wainscot: the golden's back room reads mid-gray below desk height
+    # (furniture clutter / shadow), bright only in its upper half
+    mid_gray = Material(ambient=(0.5, 0.5, 0.52), diffuse=(0.1, 0.1, 0.1),
+                        shadowable=False)
+    add_box((0.06, 1.2, zw - zb), (-W/2 + 0.03, 0.6, (zw + zb) / 2), mid_gray)
+    add_box((W, 1.2, 0.06), (0, 0.6, zb + 0.03), mid_gray)
     # back-room furniture: cabinet row with seams, a desk, a blue chair,
     # and two door frames on the rear wall
+    # the golden's back-room cabinets read pale tan, washed out by the
+    # back room's own light
+    pale_tan = Material(ambient=(0.52, 0.52, 0.44), diffuse=(0.4, 0.4, 0.35),
+                        shadowable=False)
     for ix in range(3):
-        add_box((0.72, 1.75, 0.35), (0.85 + ix * 0.78, 0.88, zb + 0.25),
-                yellow, t=T // 2 + 1)
-        add_box((0.015, 1.75, 0.37), (0.85 + ix * 0.78 - 0.37, 0.88, zb + 0.25),
+        add_box((0.72, 1.75, 0.35), (1.35 + ix * 0.78, 0.88, zb + 0.25),
+                pale_tan, t=T // 2 + 1)
+        add_box((0.015, 1.75, 0.37), (1.35 + ix * 0.78 - 0.37, 0.88, zb + 0.25),
                 dark_gray)
     add_box((1.5, 0.12, 0.7), (-1.3, 0.85, zb + 0.85), glass_white)
     add_box((0.1, 0.78, 0.1), (-1.3, 0.4, zb + 0.85), dark_gray)
@@ -698,14 +745,19 @@ def scene_08_office(scale: float = 1.0, tess: int = 6, resolution=None) -> Scene
            Material(ambient=(0.1, 0.1, 0.4), diffuse=(0.2, 0.2, 0.75)),
            dark_gray, T)
     add_box((0.9, 2.1, 0.06), (-2.5, 1.05, zb + 0.05), dark_gray)
+    # free-standing gray divider panel seen through the left pane
+    backdiv = Material(ambient=(0.72, 0.72, 0.78), diffuse=(0.15, 0.15, 0.17),
+                       shadowable=False)
+    add_box((1.0, 2.9, 0.08), (-1.6, 1.45, zb + 0.6), backdiv)
 
     # cabinet wall on the right: doors with visible seams + dark handles
     for iy in range(2):
-        for ix in range(4):
+        for ix in range(5):
             cz = 0.35 + ix * 1.12
-            # top row reaches the ceiling like the golden's full-height wall
-            cy, ch = (0.72, 1.28) if iy == 0 else (2.12, 1.52)
-            add_box((0.55, ch, 1.05), (W/2 - 0.45, cy, cz),
+            # top row stops short of the ceiling: the golden shows white
+            # wall above the cabinets in the top-right corner
+            cy, ch = (0.72, 1.28) if iy == 0 else (1.83, 0.94)
+            add_box((0.95, ch, 1.05), (W/2 - 0.65, cy, cz),
                     yellow, t=T // 2 + 1)
             # horizontal seam at the row's bottom edge + full-height
             # vertical seam, both tracking the (resized) door extents
@@ -719,24 +771,32 @@ def scene_08_office(scale: float = 1.0, tess: int = 6, resolution=None) -> Scene
                                             cz - 0.40))
             s.add_mesh(TriangleMesh(v, f, material=dark_gray, draw_mode=PHONG))
 
-    # green sideboard under the window
-    add_box((W - 1.0, 0.62, 0.6), (0, 0.31, zw + 0.45), green, t=T // 2 + 1)
+    # green sideboard under the window, topping out at the sill; its
+    # right section reads dark in the golden (desk + chair shadow side)
+    add_box((W - 0.05, 0.72, 0.6), (0, 0.36, zw + 0.45), green, t=T // 2 + 1)
+    dark_green = Material(ambient=(0.02, 0.1, 0.02), diffuse=(0.05, 0.22, 0.05))
+    add_box((1.9, 0.73, 0.62), (1.3, 0.36, zw + 0.45), dark_green)
 
     # curved desk: kidney profile extruded (tessellated top + skirt);
     # the golden's desk top reads near-white-yellow under the key light
-    desk_yellow = Material(ambient=(0.55, 0.54, 0.3), diffuse=(0.75, 0.73, 0.4),
-                           specular=(0.12, 0.12, 0.12), shininess=8)
+    # the golden's desk is blown-out white-yellow only in the specular
+    # pool under the key light (0.92); its edges fall to ~0.6 diffuse
+    desk_yellow = Material(ambient=(0.56, 0.55, 0.33), diffuse=(0.62, 0.61, 0.38),
+                           specular=(0.85, 0.85, 0.6), shininess=8)
     desk_top, desk_skirt = _desk(tess=max(24, 8 * T))
     s.add_mesh(TriangleMesh(desk_top[0], desk_top[1], material=desk_yellow, draw_mode=FLAT))
     s.add_mesh(TriangleMesh(desk_skirt[0], desk_skirt[1], material=dark_gray, draw_mode=FLAT))
     # desk legs
-    for lx, lz in [(-0.8, 1.1), (0.9, 0.9), (0.1, 2.0)]:
+    for lx, lz in [(-0.75, 1.2), (0.6, 1.0), (0.05, 2.1)]:
         v, f = shapes.cylinder(0.06, 0.72, 10, center=(lx, 0.36, lz))
         s.add_mesh(TriangleMesh(v, f, material=dark_gray, draw_mode=PHONG))
 
     # office chairs (blue seats/backs on dark posts)
-    for cx, cz, rot in [(-1.7, 1.5, 0.5), (-1.2, 3.1, 0.2), (1.5, 0.6, -0.6)]:
-        _chair(s, (cx, 0, cz), rot, blue, dark_gray, T)
+    # the right chair reads large in the golden (nearly a full 8x8 cell)
+    for cx, cz, rot, csc in [(-1.15, 1.2, 0.5, np.float32([0.8, 0.8, 0.8])),
+                             (-0.75, 3.0, 0.15, 0.85),
+                             (1.2, 0.45, -0.6, np.float32([1.4, 1.15, 1.4]))]:
+        _chair(s, (cx, 0, cz), rot, blue, dark_gray, T, scale=csc)
 
     s.max_depth = 2
     return s
@@ -767,8 +827,8 @@ def _desk(tess=48):
     ang = np.linspace(0, 2 * np.pi, tess, endpoint=False)
     # kidney: ellipse with a cosine pinch
     r = 1.35 * (1.0 + 0.35 * np.cos(ang) - 0.25 * np.cos(2 * ang))
-    prof = np.stack([r * np.cos(ang) * 1.0, r * np.sin(ang) * 0.62], 1)
-    prof += np.float32([0.0, 1.45])  # push into the room
+    prof = np.stack([r * np.cos(ang) * 0.66, r * np.sin(ang) * 0.62], 1)
+    prof += np.float32([-0.13, 1.9])  # push into the room
     y0, y1 = 0.72, 0.78
     n = tess
     top = np.concatenate([
@@ -787,13 +847,14 @@ def _desk(tess=48):
     return (top, top_faces), (skirt_v, np.asarray(skirt_f, np.int32))
 
 
-def _chair(s: Scene, pos, rot, seat_mat, post_mat, t):
+def _chair(s: Scene, pos, rot, seat_mat, post_mat, t, scale=1.0):
     """Office swivel chair: cushioned seat, tilted backrest with lumbar
     curve, armrests, gas-lift column, 5-spoke star base with casters."""
     px, py, pz = pos
 
     def put(v, f, m, mode=FLAT):
-        v = shapes.transformed(v, rotate_y=rot, translate=(px, py, pz))
+        v = shapes.transformed(v * np.float32(scale), rotate_y=rot,
+                               translate=(px, py, pz))
         s.add_mesh(TriangleMesh(v, f, material=m, draw_mode=mode))
 
     tt = max(2, t // 2)
