@@ -58,20 +58,35 @@ class ShadeGeom(NamedTuple):
     resolve_hit runs once per ray per Whitted segment; packing the
     triangle corner positions, corner normals, and the whole material
     table into lane-aligned rows turns its ~11 narrow per-ray gathers
-    (3 vertex positions + 3 vertex normals + 5 material columns) into 3
-    wide row gathers. The win is mostly in the BACKWARD: each gather's
-    VJP is a full-image scatter-add pass, so 11 passes collapse into 3
-    (plus [T]/[NM]-sized unpack scatters that cost nothing).
+    (3 vertex positions + 3 vertex normals + 5 material columns) into at
+    most 3 wide row gathers. The win is partly in the BACKWARD (each
+    gather's VJP is a full-image scatter-add pass) and partly device
+    time: TPU row gathers are latency-bound per KEY, not per byte
+    (measured ~3.2 ms/forward each on the office trace regardless of
+    row width), so fewer/wider gathers are nearly free.
+
+    ``tri_pack`` therefore fuses the old tri16 + nrm16 tables into one
+    [T, 32] row keyed by triangle id — and for a triangle-ONLY scene
+    (the benchmark office included) the per-triangle MATERIAL row is
+    joined too ([T, 48]): the per-ray material gather and the [T, 4]
+    int-row gather disappear from the untextured tri-only hot path
+    entirely (2 gathers instead of 4).
 
     The pack is an ordinary differentiable function of the scene params
     (NO stop_gradient): building it once per render pass and threading
     it through the per-tile scan means gradients accumulate into the
     packed cotangents tile by tile and hit the vertex/material arrays in
-    ONE final unpack VJP.
+    ONE final unpack VJP. Joining mat rows per-tri keeps this exact —
+    the join is itself a differentiable [T]-gather of mat16, so its VJP
+    scatter-adds the per-tri cotangents back into the material arrays.
+
+    Layout of ``tri_pack`` (f32):
+      [:, 0:16]   p0 p1 p2 (9) | u0 u1 u2 v0 v1 v2 (6) | pad
+      [:, 16:32]  n0 n1 n2 (9) | phong flag (1) | pad
+      [:, 32:48]  (tri-only scenes) the triangle's mat16 row
     """
 
-    tri16: jnp.ndarray     # [T, 16] p0 p1 p2 (9) | u0 u1 u2 v0 v1 v2 (6) | pad
-    nrm16: jnp.ndarray     # [T, 16] n0 n1 n2 (9) | phong flag (1) | pad
+    tri_pack: jnp.ndarray  # [T, 32] or [T, 48] — see layout above
     tri_int: jnp.ndarray   # [T, 4] int32: mat id, tex W, tex H, tex offset
     mat16: jnp.ndarray     # [NM, 16] diffuse3 ambient3 specular3 shin mirror shadowable | pad
 

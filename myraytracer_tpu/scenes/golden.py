@@ -462,22 +462,22 @@ def scene_06_mask(scale: float = 1.0) -> Scene:
     s = Scene()
     s.set_camera(eye=(0.25, 0.35, 4.3), center=(0, 0, 0), up=(0, 1, 0),
                  fovy=42, width=int(500 * scale), height=int(500 * scale))
-    s.add_light((3, 4, 5), (0.85, 0.78, 0.72))
-    s.add_light((-4, 1, 2), (0.18, 0.15, 0.13))
-    s.add_light((0.5, -2.5, 5), (0.10, 0.08, 0.07))   # fill from below
+    s.add_light((3.5, 0.8, 4.0), (0.85, 0.78, 0.72))
+    s.add_light((-4, 1, 2), (0.22, 0.19, 0.17))
+    s.add_light((0.5, -2.5, 5), (0.14, 0.11, 0.09))   # fill from below
     s.ambience = (0.12, 0.1, 0.09)
     s.background = (0, 0, 0)
     v, f = _face_mask(res=160)
-    v = v * np.float32(1.05)
+    v = v * np.float32([1.16, 1.05, 1.05])  # the golden's face is broad
     # tilt like the golden: crown leaning to the viewer's right, face
     # turned slightly to its own right (viewer-left)
     cz, szn = np.cos(0.22), np.sin(0.22)
     rot_z = np.float32([[cz, -szn, 0], [szn, cz, 0], [0, 0, 1]])
     v = (v @ rot_z.T).astype(np.float32)
-    v = shapes.transformed(v, rotate_y=-0.30, translate=(0.05, 0.02, 0))
+    v = shapes.transformed(v, rotate_y=-0.32, translate=(0.0, -0.15, 0))
     s.add_mesh(TriangleMesh(v, f, material=Material(
-        ambient=(0.35, 0.2, 0.15), diffuse=(0.75, 0.45, 0.32),
-        specular=(0.25, 0.2, 0.18), shininess=25), draw_mode=PHONG))
+        ambient=(0.5, 0.3, 0.22), diffuse=(0.78, 0.50, 0.38),
+        specular=(0.45, 0.38, 0.34), shininess=14), draw_mode=PHONG))
     s.max_depth = 1
     return s
 

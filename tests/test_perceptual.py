@@ -27,21 +27,23 @@ REF_DIR = "/root/reference/outputs"
 GRID = 8
 SCALE = 0.25
 
-#: (mean cell delta, max cell delta) allowed per scene — calibrated
-#: 2026-08-17 at margins of ~+0.03 mean / +0.10 max over measured values
-#: (o_03/o_04/o_05/o_07/o_08 re-calibrated 2026-08-18 after the
-#: round-2 fidelity pass: reframes, sculpted heads, brightness structure)
+#: (mean cell delta, max cell delta) allowed per scene — pinned at
+#: measured + 0.02 mean / + 0.05 max (re-measured 2026-08-19 after the
+#: round-3 o_08 rebuild — window partition/ceiling/walls re-derived from
+#: the reference PNG — and the o_06 skin/lighting/shape pass; renders
+#: are deterministic on the CPU test backend so the margins only cover
+#: future intentional scene edits)
 THRESHOLDS = {
-    "o_01_spheres": (0.10, 0.25),
-    "o_02_shadow": (0.065, 0.28),
-    "o_03_mirror": (0.075, 0.26),
-    "o_04_molecule": (0.10, 0.28),
-    "o_05_cube": (0.05, 0.27),
-    "o_06_mask": (0.12, 0.55),
-    "o_07_toon_faces": (0.115, 0.28),
-    "o_08_office": (0.15, 0.45),
-    "o_09_rings": (0.09, 0.30),
-    "o_10_pokemon": (0.10, 0.29),
+    "o_01_spheres": (0.090, 0.203),   # measured 0.0696 / 0.1526
+    "o_02_shadow": (0.055, 0.230),    # measured 0.0343 / 0.1800
+    "o_03_mirror": (0.063, 0.216),    # measured 0.0430 / 0.1655
+    "o_04_molecule": (0.092, 0.241),  # measured 0.0719 / 0.1908
+    "o_05_cube": (0.039, 0.201),      # measured 0.0185 / 0.1507
+    "o_06_mask": (0.047, 0.261),      # measured 0.0262 / 0.2110
+    "o_07_toon_faces": (0.105, 0.229),  # measured 0.0841 / 0.1788
+    "o_08_office": (0.093, 0.300),    # measured 0.0727 / 0.2498
+    "o_09_rings": (0.086, 0.279),     # measured 0.0653 / 0.2290
+    "o_10_pokemon": (0.084, 0.234),   # measured 0.0632 / 0.1834
 }
 
 
