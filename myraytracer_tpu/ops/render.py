@@ -28,6 +28,7 @@ import jax
 import jax.numpy as jnp
 
 from myraytracer_tpu.models.camera import Camera
+from myraytracer_tpu.ops import shade
 from myraytracer_tpu.ops import tracer as tr
 
 #: reference supersampling constants (mytracer_gpu.cu:83-84)
@@ -54,7 +55,10 @@ def _trace_tiled(scene, o, d, cfg: tr.TraceConfig, tile: int) -> jnp.ndarray:
     if pad:
         d_pad = d_pad.at[R:].set(d[-1])
     d_t = d_pad.reshape(n_tiles, tile, 3)
-    colors = jax.lax.map(lambda od: tr.trace(scene, od[0], od[1], cfg), (o_t, d_t))
+    # packed shade rows built ONCE, outside the tile loop (see tr.trace)
+    geom = shade.pack_shade_geom(scene)
+    colors = jax.lax.map(lambda od: tr.trace(scene, od[0], od[1], cfg, geom),
+                         (o_t, d_t))
     return colors.reshape(n_tiles * tile, 3)[:R]
 
 
@@ -161,8 +165,9 @@ def _loss_grad_tiled(scene, o, d, target, w, cfg, tile):
         # traversal/occlusion scans run exactly once, and their stacked
         # results (~ints/bools per ray/segment) feed the loss as plain
         # inputs the AD transform cannot re-run
+        topo_geom = shade.pack_shade_geom(scene)  # loop-invariant pack
         topo_all = jax.lax.map(
-            lambda x: tr.trace_topology(scene, x[0], x[1], cfg),
+            lambda x: tr.trace_topology(scene, x[0], x[1], cfg, topo_geom),
             (o_t, d_t))
 
         def shade_loss(p, geom, topo, ot, dt, tt, wt):

@@ -91,9 +91,21 @@ class ShadeGeom(NamedTuple):
     mat16: jnp.ndarray     # [NM, 16] diffuse3 ambient3 specular3 shin mirror shadowable | pad
 
 
+def _tri_only(scene) -> bool:
+    """Triangles are the only primitive kind (office benchmark path)."""
+    return bool(scene.n_tris) and not (
+        scene.n_spheres or scene.n_planes or scene.n_cylinders)
+
+
 def pack_shade_geom(scene) -> ShadeGeom:
     """Build the packed rows from the CURRENT (differentiable) params."""
     z1 = jnp.zeros((max(scene.n_tris, 1), 1), jnp.float32)
+    nm = scene.mat_diffuse.shape[0]
+    mat16 = jnp.concatenate([
+        scene.mat_diffuse, scene.mat_ambient, scene.mat_specular,
+        scene.mat_shininess[:, None], scene.mat_mirror[:, None],
+        scene.mat_shadowable[:, None], jnp.zeros((nm, 4), jnp.float32),
+    ], axis=1)
     if scene.n_tris:
         tv = scene.tri_vidx
         vp = scene.vertex_pos
@@ -108,26 +120,21 @@ def pack_shade_geom(scene) -> ShadeGeom:
             ], axis=1)
         else:
             uv6 = jnp.zeros((scene.tri_vidx.shape[0], 6), jnp.float32)
-        tri16 = jnp.concatenate([pos9, uv6, 0.0 * z1], axis=1)
         vn = scene.vertex_normal
         nrm9 = jnp.concatenate([vn[tv[:, 0]], vn[tv[:, 1]], vn[tv[:, 2]]],
                                axis=1)
         flag = (scene.tri_flags == 1).astype(jnp.float32)[:, None]
-        nrm16 = jnp.concatenate(
-            [nrm9, flag, jnp.zeros((nrm9.shape[0], 6), jnp.float32)], axis=1)
+        parts = [pos9, uv6, 0.0 * z1,                       # [:, 0:16]
+                 nrm9, flag, jnp.zeros((nrm9.shape[0], 6), jnp.float32)]
+        if _tri_only(scene):
+            parts.append(mat16[scene.tri_mat])              # [:, 32:48]
+        tri_pack = jnp.concatenate(parts, axis=1)
         tri_int = jnp.concatenate(
             [scene.tri_mat[:, None], scene.tri_tex], axis=1)
     else:
-        tri16 = jnp.zeros((1, 16), jnp.float32)
-        nrm16 = jnp.zeros((1, 16), jnp.float32)
+        tri_pack = jnp.zeros((1, 32), jnp.float32)
         tri_int = jnp.zeros((1, 4), jnp.int32)
-    nm = scene.mat_diffuse.shape[0]
-    mat16 = jnp.concatenate([
-        scene.mat_diffuse, scene.mat_ambient, scene.mat_specular,
-        scene.mat_shininess[:, None], scene.mat_mirror[:, None],
-        scene.mat_shadowable[:, None], jnp.zeros((nm, 4), jnp.float32),
-    ], axis=1)
-    return ShadeGeom(tri16=tri16, nrm16=nrm16, tri_int=tri_int, mat16=mat16)
+    return ShadeGeom(tri_pack=tri_pack, tri_int=tri_int, mat16=mat16)
 
 
 def resolve_hit(scene, o, d, kind, idx, texture_filter: str = "nearest",
@@ -202,9 +209,12 @@ def resolve_hit(scene, o, d, kind, idx, texture_filter: str = "nearest",
         normal = jnp.where(is_c[:, None], n_c, normal)
         mat_id = jnp.where(is_c, scene.cyl_mat[ci], mat_id)
 
+    tri_only = scene.n_tris and geom.tri_pack.shape[1] == 48
+    tri_mat_row = None
     if scene.n_tris:
         ti = jnp.clip(safe, 0, scene.n_tris - 1)
-        rows = geom.tri16[ti]                       # [R, 16]
+        rows48 = geom.tri_pack[ti]                  # [R, 32 or 48] ONE gather
+        rows = rows48[:, 0:16]
         p0, p1, p2 = rows[:, 0:3], rows[:, 3:6], rows[:, 6:9]
         t_t, alpha, beta = isx.ray_triangle(o, d, p0, p1, p2)
         gamma = 1.0 - alpha - beta
@@ -212,19 +222,27 @@ def resolve_hit(scene, o, d, kind, idx, texture_filter: str = "nearest",
         # equal to the reference's precomputed triangle.normal
         # (mymesh.cpp:116); PHONG interpolates UNnormalized (parity).
         n_flat = vm.normalize(vm.cross(p1 - p0, p2 - p0))
-        nr = geom.nrm16[ti]                         # [R, 16]
+        nr = rows48[:, 16:32]
         n0, n1, n2 = nr[:, 0:3], nr[:, 3:6], nr[:, 6:9]
         n_phong = alpha[:, None] * n0 + beta[:, None] * n1 + gamma[:, None] * n2
         is_phong = nr[:, 9] > 0.5
         n_t = jnp.where(is_phong[:, None], n_phong, n_flat)
 
-        ints = geom.tri_int[ti]                     # [R, 4]
+        # the [R, 4] int-row gather is needed only for texture records or
+        # to blend mat ids across primitive kinds; the untextured
+        # tri-only hot path (benchmark office) skips it entirely
+        need_tex = need_colors and scene.has_textures
+        if need_tex or not tri_only:
+            ints = geom.tri_int[ti]                 # [R, 4]
+        if tri_only:
+            tri_mat_row = rows48[:, 32:48]
         is_t = kind == KIND_TRI
         t = jnp.where(is_t, t_t, t)
         normal = jnp.where(is_t[:, None], n_t, normal)
-        mat_id = jnp.where(is_t, ints[:, 0], mat_id)
+        if not tri_only:
+            mat_id = jnp.where(is_t, ints[:, 0], mat_id)
 
-        if need_colors and scene.has_textures:
+        if need_tex:
             # texture
             u = (alpha * rows[:, 9] + beta * rows[:, 10]
                  + gamma * rows[:, 11])
@@ -268,7 +286,10 @@ def resolve_hit(scene, o, d, kind, idx, texture_filter: str = "nearest",
         point = jnp.where(
             is_t[:, None],
             point - vm.dot(n_flat, point - p2)[:, None] * n_flat, point)
-    mat = geom.mat16[mat_id]                        # [R, 16]
+    # tri-only scenes read the material row straight out of the joined
+    # tri_pack gather (rows for missed rays are row-0 values; every
+    # consumer gates on valid/active, see trace.segment)
+    mat = tri_mat_row if tri_only else geom.mat16[mat_id]  # [R, 16]
     if need_colors:
         diffuse = jnp.where(has_override[:, None], diffuse_override,
                             mat[:, 0:3])

@@ -408,6 +408,7 @@ def trace(
     o: jnp.ndarray,
     d: jnp.ndarray,
     cfg: TraceConfig = TraceConfig(),
+    geom: Optional[shade.ShadeGeom] = None,
 ) -> jnp.ndarray:
     """Whitted trace of a ray batch -> [R, 3] linear color (unclamped).
 
@@ -415,10 +416,17 @@ def trace(
     the primary hit (weight 1), segments 1..max_depth follow the mirror
     chain with ``weight *= m``; a miss adds ``weight * background`` and
     kills the ray (mytracer_gpu.cu:237-312).
+
+    Pass ``geom`` (shade.pack_shade_geom) when tracing many tiles of the
+    same scene: built inside a lax.map body, the pack's join gather is
+    NOT loop-hoisted by XLA and re-runs per tile (measured 17 ms/frame
+    on the office trace); built once outside, it's a loop-invariant
+    input.
     """
     R = o.shape[0]
     tri_flat, cl_tris = _tri_caches(scene, cfg)
-    geom = shade.pack_shade_geom(scene)
+    if geom is None:
+        geom = shade.pack_shade_geom(scene)
 
     def segment(carry: _Bounce) -> _Bounce:
         live = carry.weight > 0.0
@@ -474,6 +482,7 @@ def trace_topology(
     o: jnp.ndarray,
     d: jnp.ndarray,
     cfg: TraceConfig = TraceConfig(),
+    geom: Optional[shade.ShadeGeom] = None,
 ) -> TraceTopo:
     """Gradient-free topology pass: the same Whitted scan as
     :func:`trace`, recording per segment WHICH primitive each ray hit,
@@ -487,7 +496,10 @@ def trace_topology(
     d = jax.lax.stop_gradient(d)
     scene = jax.tree.map(jax.lax.stop_gradient, scene)
     tri_flat, cl_tris = _tri_caches(scene, cfg)
-    geom = shade.pack_shade_geom(scene)
+    if geom is None:
+        geom = shade.pack_shade_geom(scene)
+    else:
+        geom = jax.tree.map(jax.lax.stop_gradient, geom)
     L = max(scene.n_lights, 1)
 
     def segment(carry):

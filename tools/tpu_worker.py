@@ -77,6 +77,11 @@ def main() -> None:
         try:
             with open(path) as f:
                 src = f.read()
+            # drop cached repo modules so edits between jobs take effect
+            # (a stale myraytracer_tpu once made an A/B measure the SAME
+            # code twice); jax stays cached so compiles remain warm
+            for m in [k for k in sys.modules if k.startswith("myraytracer_tpu")]:
+                del sys.modules[m]
             with redirect_stdout(buf), redirect_stderr(buf):
                 exec(compile(src, path, "exec"), glb)
             status = "ok"
