@@ -42,11 +42,35 @@ AA_THRESHOLD = 0.02
 TILE = int(_os.environ.get("MRT_TILE", str(1 << 14)))
 
 
-def _trace_tiled(scene, o, d, cfg: tr.TraceConfig, tile: int) -> jnp.ndarray:
+def _fit_tile(R: int, tile: int, quantum: int) -> int:
+    """Nudge ``tile`` to a nearby size that divides R exactly.
+
+    The office 1080p batch is 2040 screen blocks; at the swept
+    TILE=16384 (16 blocks) the stream needs 127.5 tiles, so the ray
+    array is padded to 128 and un-padded after — a whole-image [R,3]
+    pad+slice pair that the XProf trace bills at 6.5 ms/frame. A tile
+    of 15 blocks divides exactly: no pad, no slice, and no half-wasted
+    final kernel launch. Searches downward in whole quanta (screen
+    blocks) and accepts the first exact divisor within 75% of the
+    request; otherwise keeps the requested size (padding stays correct).
+    """
+    want = max(1, tile // quantum)
+    nq = R // quantum
+    if nq == 0 or R % quantum:
+        return tile
+    for k in range(min(want, nq), 0, -1):
+        if nq % k == 0:
+            return k * quantum if 4 * k >= 3 * want else tile
+    return tile
+
+
+def _trace_tiled(scene, o, d, cfg: tr.TraceConfig, tile: int,
+                 quantum: int = 1) -> jnp.ndarray:
     """Trace a flat [R, 3] ray batch in fixed-size tiles."""
     R = o.shape[0]
     if R <= tile:
         return tr.trace(scene, o, d, cfg)
+    tile = _fit_tile(R, tile, quantum)
     n_tiles = (R + tile - 1) // tile
     pad = n_tiles * tile - R
     o_t = jnp.pad(o, ((0, pad), (0, 0))).reshape(n_tiles, tile, 3)
@@ -115,7 +139,7 @@ def render(
     # than one block don't loosen the unions — they just shrink the
     # number of sequential lax.map iterations
     tile_eff = max(bh * bw, (tile // (bh * bw)) * (bh * bw))
-    color = _trace_tiled(scene, o, d, cfg, tile_eff)
+    color = _trace_tiled(scene, o, d, cfg, tile_eff, quantum=bh * bw)
     img = (
         color.reshape(Hp // bh, Wp // bw, bh, bw, 3)
         .transpose(0, 2, 1, 3, 4)
@@ -150,6 +174,7 @@ def _loss_grad_tiled(scene, o, d, target, w, cfg, tile):
 
     R = o.shape[0]
     tile = min(tile, R)  # don't pad small batches up to a whole tile
+    tile = _fit_tile(R, tile, 1024)  # exact-divide when a near tile exists
     n_tiles = max(1, (R + tile - 1) // tile)
     pad = n_tiles * tile - R
     o_t = jnp.pad(o, ((0, pad), (0, 0))).reshape(n_tiles, tile, 3)
