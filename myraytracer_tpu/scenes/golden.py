@@ -1048,17 +1048,22 @@ def scene_10_pokemon(scale: float = 1.0) -> Scene:
 #: above-threshold count for exact-rule parity. Budgets are per scene,
 #: sized from measured above-threshold fractions with margin
 #: (tests/test_aa_budget.py asserts coverage at the golden resolutions).
+#: (builder, AA compaction budget). Budgets are pinned at the MEASURED
+#: above-threshold fraction at reference resolution x ~1.3 margin
+#: (re-measured 2026-08-20 on the round-3 scenes; tests/test_aa_budget.py
+#: enforces coverage of the exact reference rule). The round-2 blanket
+#: 0.10-0.15 budgets over-provisioned the AA pass 2-10x.
 GOLDEN_SCENES = {
-    "o_01_spheres": (scene_01_spheres, 0.10),
-    "o_02_shadow": (scene_02_shadow, 0.10),
-    "o_03_mirror": (scene_03_mirror, 0.10),
-    "o_04_molecule": (scene_04_molecule, 0.15),
-    "o_05_cube": (scene_05_cube, 0.10),
-    "o_06_mask": (scene_06_mask, 0.10),
-    "o_07_toon_faces": (scene_07_toon_faces, 0.12),
-    "o_08_office": (scene_08_office, 0.15),
-    "o_09_rings": (scene_09_rings, 0.10),
-    "o_10_pokemon": (scene_10_pokemon, 0.12),
+    "o_01_spheres": (scene_01_spheres, 0.016),   # measured 0.0120
+    "o_02_shadow": (scene_02_shadow, 0.006),     # measured 0.0043
+    "o_03_mirror": (scene_03_mirror, 0.005),     # measured 0.0035
+    "o_04_molecule": (scene_04_molecule, 0.090), # measured 0.0681
+    "o_05_cube": (scene_05_cube, 0.012),         # measured 0.0089
+    "o_06_mask": (scene_06_mask, 0.016),         # measured 0.0119
+    "o_07_toon_faces": (scene_07_toon_faces, 0.090),  # measured 0.0683
+    "o_08_office": (scene_08_office, 0.115),     # measured 0.0870 (500x500)
+    "o_09_rings": (scene_09_rings, 0.013),       # measured 0.0093
+    "o_10_pokemon": (scene_10_pokemon, 0.075),   # measured 0.0575
 }
 
 
