@@ -74,7 +74,13 @@ def central_rays(cam, n=40, margin=0.3, seed=0):
     ("mat_ambient", 1e-2),
     ("light_pos", 1e-2),
     ("sphere_center", 5e-3),
-    ("sphere_radius", 5e-3),
+    # radius at eps 5e-3 fails NOT because the gradient is wrong: t(r) of a
+    # near-tangent hit has sqrt curvature, so central FD at that step is
+    # biased ~10% (measured: FD(eps) for the two offending rays converges
+    # 0.073 -> 0.0 and 0.085 -> 0.01758 as eps -> 2e-4, exactly matching
+    # the analytic 0.0 / 0.01761, with zero hit-topology flips across the
+    # stencil). 5e-4 sits below the curvature bias and above fp32 noise.
+    ("sphere_radius", 5e-4),
     ("vertex_pos", 5e-3),
     ("mat_mirror", 1e-2),
 ])
