@@ -129,6 +129,28 @@ def main() -> None:
         print("WARNING: camera pose did not recover to within 0.05",
               file=sys.stderr)
 
+    # ---- stage 3: zoom (fovy) recovery -------------------------------
+    # A 10% fovy perturbation optimizes back through the same pixel
+    # loss: fovy is a traced Camera leaf (round 4), so intrinsics are
+    # recoverable alongside pose.
+    wrong_fovy_cam = dataclasses.replace(
+        sc.camera, fovy=sc.camera.fovy * np.float32(1.10))
+    inv_fovy = InverseRenderer(
+        true_scene, param_names=("cam_fovy",),
+        optimizer=optax.adam(1e-1), camera=wrong_fovy_cam,
+        cfg=tr.TraceConfig())
+    res_fovy = inv_fovy.fit_pixels(xs.ravel(), ys.ravel(), target,
+                                   steps=max(120, args.steps),
+                                   log_every=40)
+    true_fovy = float(sc.camera.fovy)
+    fit_fovy = float(res_fovy.params["cam_fovy"])
+    print(f"zoom loss: {res_fovy.losses[0]:.5f} -> {res_fovy.losses[-1]:.6f}")
+    print(f"fovy: true {true_fovy:.2f} start {float(wrong_fovy_cam.fovy):.2f}"
+          f" fit {fit_fovy:.2f}")
+    if abs(fit_fovy - true_fovy) > 0.3:
+        print("WARNING: fovy did not recover to within 0.3 deg",
+              file=sys.stderr)
+
 
 if __name__ == "__main__":
     main()

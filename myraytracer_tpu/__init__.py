@@ -23,6 +23,7 @@ from myraytracer_tpu.models.camera import Camera
 from myraytracer_tpu.models.material import Material
 from myraytracer_tpu.models.light import Light
 from myraytracer_tpu.models.scene import Scene, SceneData
+from myraytracer_tpu.ops.refit import refit_accel
 from myraytracer_tpu.ops.render import render, render_aa
 
 __all__ = [
@@ -33,4 +34,5 @@ __all__ = [
     "SceneData",
     "render",
     "render_aa",
+    "refit_accel",
 ]

@@ -28,15 +28,16 @@ import numpy as np
 import optax
 
 from myraytracer_tpu.ops import tracer as tr
+from myraytracer_tpu.ops.refit import refit_accel
 from myraytracer_tpu.parallel.shard_render import merge_params, split_params
 
-#: camera pose leaves exposed as optimizable parameters when a camera is
-#: attached. fovy stays static (it is a Python float baked into the
-#: compiled program); pose recovery — the common inverse task — needs
-#: only these three.
-CAMERA_PARAMS = ("cam_eye", "cam_center", "cam_up")
+#: camera leaves exposed as optimizable parameters when a camera is
+#: attached: full pose (eye/center/up) plus the intrinsic zoom (fovy,
+#: a traced leaf of models/camera.Camera since round 4).
+CAMERA_PARAMS = ("cam_eye", "cam_center", "cam_up", "cam_fovy")
 
-_CAM_FIELD = {"cam_eye": "eye", "cam_center": "center", "cam_up": "up"}
+_CAM_FIELD = {"cam_eye": "eye", "cam_center": "center", "cam_up": "up",
+              "cam_fovy": "fovy"}
 
 
 def camera_with(camera, params: Dict[str, jnp.ndarray]):
@@ -135,6 +136,14 @@ class InverseRenderer:
         base = self.base_scene
         camera = self.camera
         use_cam = self._use_camera
+        # geometry optimization moves vertices past the build-time BVH /
+        # cluster bounds — refit them from the CURRENT vertex_pos every
+        # step so culling stays conservative (ops/refit.py)
+        need_refit = "vertex_pos" in self.param_names
+
+        def scene_at(p):
+            s = merge_params(base, _scene_leaves(p))
+            return refit_accel(s) if need_refit else s
 
         def rays_of(p, a, b):
             # pixel mode regenerates rays from the CURRENT pose so
@@ -148,8 +157,7 @@ class InverseRenderer:
             def step(params, opt_state, a, b, target):
                 def loss_fn(p):
                     o, d = rays_of(p, a, b)
-                    c = tr.trace(merge_params(base, _scene_leaves(p)), o, d,
-                                 cfg)
+                    c = tr.trace(scene_at(p), o, d, cfg)
                     return jnp.mean((c - target) ** 2)
 
                 loss, grads = jax.value_and_grad(loss_fn)(params)
@@ -176,7 +184,7 @@ class InverseRenderer:
         def step_sharded(params, opt_state, a, b, target, w):
             def loss_fn(p):
                 o, d = rays_of(p, a, b)
-                c = tr.trace(merge_params(base, _scene_leaves(p)), o, d, cfg)
+                c = tr.trace(scene_at(p), o, d, cfg)
                 # w masks rays padded up to the shard count
                 return jnp.sum(w[:, None] * (c - target) ** 2)
 

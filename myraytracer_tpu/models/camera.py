@@ -36,14 +36,20 @@ class Camera:
     eye: jnp.ndarray          # [3]
     center: jnp.ndarray       # [3] look-at point
     up: jnp.ndarray           # [3]
-    fovy: float = dataclasses.field(metadata=dict(static=True), default=45.0)  # degrees, full vertical FOV
+    #: full vertical FOV in degrees. A traced (differentiable) leaf, NOT
+    #: static: it only feeds tan(fovy/2), so making it data costs nothing
+    #: and lets inverse rendering recover zoom alongside pose (the
+    #: reference's Camera carries fovy as a scene-file input,
+    #: mytracer.cpp:88 / SURVEY.md §1.1).
+    fovy: jnp.ndarray = dataclasses.field(
+        default_factory=lambda: jnp.float32(45.0))
     width: int = dataclasses.field(metadata=dict(static=True), default=512)
     height: int = dataclasses.field(metadata=dict(static=True), default=512)
 
     @staticmethod
     def make(eye, center, up, fovy: float, width: int, height: int) -> "Camera":
         f32 = lambda v: jnp.asarray(v, dtype=jnp.float32)
-        return Camera(f32(eye), f32(center), f32(up), float(fovy), int(width), int(height))
+        return Camera(f32(eye), f32(center), f32(up), f32(fovy), int(width), int(height))
 
     def _basis(self) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
         view = vm.normalize(self.center - self.eye)
@@ -62,7 +68,7 @@ class Camera:
             normalized. Origins broadcast the eye point.
         """
         view, right, up = self._basis()
-        tan_half = math.tan(math.radians(self.fovy) * 0.5)
+        tan_half = jnp.tan(jnp.asarray(self.fovy) * (math.pi / 360.0))
         aspect = self.width / self.height
         # NDC in [-1, 1]; pixel center (x=0) maps to the center of the
         # leftmost pixel column: u = ((x + 0.5)/W)*2 - 1.

@@ -93,6 +93,14 @@ class SceneData:
     # of six (TPU gathers are the traversal bottleneck).
     bvh_nodes_packed: jnp.ndarray  # [N, 8] f32: bbmin, bbmax, bits(first), bits(count)
     bvh_links_packed: jnp.ndarray  # [8N, 2] i32: (entry, skip) per octant-major node
+    # per-node triangle ranges [lo, hi): every node (leaf AND internal)
+    # covers a contiguous run of the leaf-ordered triangle array. Stored
+    # for ops/refit.refit_accel, which recomputes node/cluster AABBs from
+    # the CURRENT vertex_pos when geometry is optimized (the reference
+    # builds bounds once because its geometry is static, mybvh.cpp:44,375;
+    # this framework's vertex_pos is a differentiable leaf).
+    bvh_lo: jnp.ndarray          # [N] int32
+    bvh_hi: jnp.ndarray          # [N] int32
 
     # --- cluster cut (ops/cluster.py, the TPU streaming fast path) ---
     cl_first: jnp.ndarray        # [K] int32 first triangle of cluster
@@ -313,12 +321,29 @@ class Scene:
             bvh_arrays = (tree.bbmin, tree.bbmax, tree.first, tree.count,
                           tree.entry, tree.skip)
             max_leaf = tree.max_leaf
+            # per-node triangle ranges, bottom-up (children always have
+            # larger indices than their parent, so one reverse sweep
+            # suffices); only LEAF first/count are trusted — internal
+            # nodes derive their range from their children
+            nn = tree.bbmin.shape[0]
+            node_lo = np.zeros(nn, np.int64)
+            node_hi = np.zeros(nn, np.int64)
+            tleft = tree.left
+            for n in range(nn - 1, -1, -1):
+                if tleft[n] < 0:
+                    node_lo[n] = tree.first[n]
+                    node_hi[n] = tree.first[n] + tree.count[n]
+                else:
+                    node_lo[n] = node_lo[tleft[n]]
+                    node_hi[n] = node_hi[tleft[n] + 1]
         else:
             bvh_arrays = (
                 np.zeros((1, 3), np.float32), np.zeros((1, 3), np.float32),
                 np.zeros((1,), np.int32), np.zeros((1,), np.int32),
                 np.full((8, 1), -1, np.int32), np.full((8, 1), -1, np.int32),
             )
+            node_lo = np.zeros(1, np.int64)
+            node_hi = np.zeros(1, np.int64)
 
         # packed traversal mirrors (see SceneData docstring)
         bbmin_a, bbmax_a, first_a, count_a, entry_a, skip_a = bvh_arrays
@@ -374,6 +399,7 @@ class Scene:
             bvh_first=_i32(bvh_arrays[2]), bvh_count=_i32(bvh_arrays[3]),
             bvh_entry=_i32(bvh_arrays[4]), bvh_skip=_i32(bvh_arrays[5]),
             bvh_nodes_packed=_f32(nodes_packed), bvh_links_packed=_i32(links_packed),
+            bvh_lo=_i32(node_lo), bvh_hi=_i32(node_hi),
             cl_first=_i32(cl_first), cl_count=_i32(cl_count),
             cl_bbmin=_f32(cl_bbmin), cl_bbmax=_f32(cl_bbmax), cl_M=cl_M,
             max_depth=int(self.max_depth), max_leaf=int(max_leaf),

@@ -147,7 +147,7 @@ def write_scene(path: str, scene: Scene, mesh_files=None) -> None:
         c = [float(x) for x in cam.center]
         u = [float(x) for x in cam.up]
         f.write("camera " + " ".join(f"{x:g}" for x in (*e, *c, *u))
-                + f" {cam.fovy:g} {cam.width} {cam.height}\n")
+                + f" {float(cam.fovy):g} {cam.width} {cam.height}\n")
         f.write("background " + " ".join(f"{x:g}" for x in scene.background) + "\n")
         f.write("ambience " + " ".join(f"{x:g}" for x in scene.ambience) + "\n")
         f.write(f"depth {scene.max_depth}\n")

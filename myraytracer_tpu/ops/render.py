@@ -170,8 +170,25 @@ def _loss_grad_tiled(scene, o, d, target, w, cfg, tile):
     the backward re-runs traversal during rematerialization. ``w`` masks
     padded rays.
     """
+    from myraytracer_tpu.ops.refit import refit_accel
     from myraytracer_tpu.parallel.shard_render import merge_params, split_params
 
+    # callers optimizing vertex_pos hand in scenes whose build-time BVH /
+    # cluster bounds may be stale; one dense refit pass (ops/refit.py,
+    # ~log2(T) elementwise mins over [T,3] + two gathers) keeps culling
+    # conservative at negligible cost next to a single ray tile
+    scene = refit_accel(scene)
+    # mat_mirror is in the returned grad set, so the statically-trimmed
+    # mirror chain of mirror-free scenes (live_depth=1, models/scene.py)
+    # must be restored: the trimmed program yields a one-sided
+    # d(image)/d(mat_mirror) that silently drops the reflected-radiance
+    # term the moment an optimizer raises mirror above 0. The restored
+    # segments stay runtime-dead (cond-skipped) while every mirror weight
+    # is 0, so this costs iterations-of-nothing, not traversals.
+    if scene.live_depth and scene.live_depth <= scene.max_depth:
+        import dataclasses as _dc
+
+        scene = _dc.replace(scene, live_depth=scene.max_depth + 1)
     R = o.shape[0]
     tile = min(tile, R)  # don't pad small batches up to a whole tile
     tile = _fit_tile(R, tile, 1024)  # exact-divide when a near tile exists

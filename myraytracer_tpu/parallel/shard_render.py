@@ -24,6 +24,7 @@ from jax.sharding import PartitionSpec as P
 
 from myraytracer_tpu.models.scene import SceneData
 from myraytracer_tpu.ops import tracer as tr
+from myraytracer_tpu.ops.refit import refit_accel
 from myraytracer_tpu.parallel.mesh import RAY_AXIS
 
 
@@ -129,10 +130,20 @@ def make_train_step(mesh, cfg: tr.TraceConfig = tr.TraceConfig(), lr: float = 1e
         check_vma=False,
     )
     def step(scene, o, d, target, w):
+        # grads include mat_mirror: restore a statically-trimmed mirror
+        # chain so d(loss)/d(mirror) keeps the reflected term (the
+        # live_depth trap — see ops/render._loss_grad_tiled)
+        if scene.live_depth and scene.live_depth <= scene.max_depth:
+            scene = dataclasses.replace(scene,
+                                        live_depth=scene.max_depth + 1)
         params = split_params(scene)
 
         def loss_fn(p):
             s = merge_params(scene, p)
+            # vertex_pos is an optimized leaf: refit BVH/cluster bounds
+            # from the current vertices so culling stays conservative
+            # across steps (ops/refit.py)
+            s = refit_accel(s)
             c = tr.trace(s, o, d, cfg)
             # w masks padded rays out of loss and gradient
             return jnp.sum(w[:, None] * (c - target) ** 2)

@@ -140,12 +140,14 @@ def test_texture_texel_grads_match_fd():
     ("eye", 2e-3),
     ("center", 2e-3),
     ("up", 2e-3),
+    ("fovy", 2e-2),  # degrees: the traced intrinsic (zoom) leaf
 ])
 @pytest.mark.slow
 def test_camera_pose_grads_match_fd(cam_field, eps):
-    """d(loss)/d(camera pose): rays regenerated from the pose inside the
-    loss; gradients flow through primary_rays -> fixed-topology hit
-    re-solve (exact where visibility is locally constant)."""
+    """d(loss)/d(camera pose + fovy): rays regenerated from the camera
+    inside the loss; gradients flow through primary_rays ->
+    fixed-topology hit re-solve (exact where visibility is locally
+    constant)."""
     import dataclasses
 
     s = grad_scene()
@@ -169,8 +171,8 @@ def test_camera_pose_grads_match_fd(cam_field, eps):
     assert float(jnp.abs(g).sum()) > 0  # pose actually reaches the image
 
     rng2 = np.random.default_rng(12)
-    v = rng2.normal(size=3).astype(np.float32)
-    v /= np.linalg.norm(v)
+    v = rng2.normal(size=np.asarray(base).shape).astype(np.float32)
+    v /= np.linalg.norm(np.atleast_1d(v))
     fd = (float(fn(base + eps * v)) - float(fn(base - eps * v))) / (2 * eps)
     analytic = float(jnp.vdot(g, v))
     np.testing.assert_allclose(analytic, fd, rtol=0.08, atol=2e-3)
@@ -197,6 +199,49 @@ def test_render_loss_grad_matches_direct():
         np.testing.assert_allclose(
             np.asarray(grads_t[k]), np.asarray(grads_d[k]),
             rtol=2e-4, atol=2e-5, err_msg=k)
+
+
+def test_mirror_grad_full_chain_on_trimmed_scene():
+    """The live_depth trap (VERDICT r3 #7): a mirror-free build statically
+    trims the Whitted chain to 1 segment; once an optimizer raises
+    mat_mirror above 0 that trimmed program drops the reflected-radiance
+    term from d(loss)/d(mat_mirror). render_loss_grad must restore the
+    full chain on its own — pinned here against central FD through a
+    full-depth renderer."""
+    import dataclasses
+
+    s = grad_scene()
+    data = s.build()
+    # mirror-free variant of the same scene: build-time trim kicks in
+    flat = dataclasses.replace(
+        data, mat_mirror=jnp.zeros_like(data.mat_mirror), live_depth=1)
+    assert flat.n_segments == 1
+    # ... then "the optimizer" moves mirror off zero; live_depth is stale
+    moved = dataclasses.replace(
+        flat, mat_mirror=jnp.full_like(data.mat_mirror, 0.15))
+
+    o, d = central_rays(s.camera, n=80, margin=0.25, seed=13)
+    target = jnp.full((o.shape[0], 3), 0.2)
+
+    _, grads = render_loss_grad(moved, o, d, target, tile=1024)
+    g = grads["mat_mirror"]
+
+    # FD oracle: the FULL-depth renderer (what the image physically is)
+    full = dataclasses.replace(moved, live_depth=moved.max_depth + 1)
+    rng = np.random.default_rng(7)
+    v = rng.normal(size=np.asarray(g).shape).astype(np.float32)
+    v /= np.linalg.norm(v)
+    eps = 5e-3
+
+    def at(t):
+        sc = dataclasses.replace(
+            full, mat_mirror=full.mat_mirror + t * v)
+        c = tr.trace(sc, o, d)
+        return float(jnp.sum((c - target) ** 2))
+
+    fd = (at(eps) - at(-eps)) / (2 * eps)
+    analytic = float(jnp.vdot(g, v))
+    np.testing.assert_allclose(analytic, fd, rtol=0.08, atol=2e-3)
 
 
 def test_inverse_rendering_converges():

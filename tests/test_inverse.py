@@ -136,6 +136,27 @@ def test_camera_pose_recovery(setup):
         inv.fit(o, d, target, steps=1)
 
 
+@pytest.mark.slow
+def test_camera_fovy_recovery(setup):
+    """A 10% zoom (fovy) perturbation optimizes back to the true value —
+    the differentiable-intrinsics capstone (VERDICT r3 #6)."""
+    s, data, *_ = setup
+    cam = s.camera
+    xs, ys = cam.pixel_grid()
+    xs, ys = xs.ravel(), ys.ravel()
+    o, d = cam.primary_rays(xs, ys)
+    target = tr.trace(data, o, d)
+
+    wrong_cam = dataclasses.replace(
+        cam, fovy=cam.fovy * np.float32(1.10))
+    inv = InverseRenderer(data, param_names=("cam_fovy",),
+                          optimizer=optax.adam(5e-2), camera=wrong_cam)
+    res = inv.fit_pixels(xs, ys, target, steps=80)
+    assert res.losses[-1] < res.losses[0] * 0.05
+    np.testing.assert_allclose(
+        float(res.camera.fovy), float(cam.fovy), atol=0.2)
+
+
 def test_fit_smoke_sharded_and_camera(setup):
     """Fast-lane smoke: a few sharded steps and a few camera-pose steps
     both run, reduce the loss, and stay finite (thorough agreement /
