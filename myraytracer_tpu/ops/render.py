@@ -178,17 +178,6 @@ def _loss_grad_tiled(scene, o, d, target, w, cfg, tile):
     # ~log2(T) elementwise mins over [T,3] + two gathers) keeps culling
     # conservative at negligible cost next to a single ray tile
     scene = refit_accel(scene)
-    # mat_mirror is in the returned grad set, so the statically-trimmed
-    # mirror chain of mirror-free scenes (live_depth=1, models/scene.py)
-    # must be restored: the trimmed program yields a one-sided
-    # d(image)/d(mat_mirror) that silently drops the reflected-radiance
-    # term the moment an optimizer raises mirror above 0. The restored
-    # segments stay runtime-dead (cond-skipped) while every mirror weight
-    # is 0, so this costs iterations-of-nothing, not traversals.
-    if scene.live_depth and scene.live_depth <= scene.max_depth:
-        import dataclasses as _dc
-
-        scene = _dc.replace(scene, live_depth=scene.max_depth + 1)
     R = o.shape[0]
     tile = min(tile, R)  # don't pad small batches up to a whole tile
     tile = _fit_tile(R, tile, 1024)  # exact-divide when a near tile exists
@@ -248,8 +237,59 @@ def _loss_grad_tiled(scene, o, d, target, w, cfg, tile):
     return jax.value_and_grad(loss_fn)(params)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "tile"))
-def render_loss_grad(
+def restore_mirror_chain(scene):
+    """Un-trim live_depth when the scene's CURRENT mirror values need it.
+
+    Scene.build statically trims mirror-free scenes to one Whitted
+    segment (live_depth=1, models/scene.py). If a caller then moves
+    ``mat_mirror`` above 0 (an optimizer discovering reflection), the
+    trimmed program silently drops the reflected radiance AND its
+    gradient. This helper makes the restore decision *statically at the
+    jit boundary* from the concrete mat_mirror values:
+
+      * any mirror > 0  -> live_depth := max_depth + 1 (full chain);
+      * all mirrors == 0 -> unchanged. This loses nothing: with every
+        weight provably 0 after segment 0, dead segments contribute
+        exactly 0 to both the value and every gradient, so the trimmed
+        and full programs are mathematically identical — while the full
+        program's checkpointed backward pays ~2.4x (dead lax.cond
+        branches are not free under remat: measured office 1080p fwd+bwd
+        0.31 s -> 0.74 s).
+
+    Inside a trace (mat_mirror a Tracer) values are unknowable: the
+    scene is returned unchanged, matching the documented contract that
+    traced callers manage live_depth themselves (InverseRenderer does).
+    """
+    import dataclasses as _dc
+
+    if not (scene.live_depth and scene.live_depth <= scene.max_depth):
+        return scene
+    mm = scene.mat_mirror
+    if isinstance(mm, jax.core.Tracer):
+        return scene
+    import numpy as _np
+
+    if float(_np.max(_np.asarray(mm))) > 0.0:
+        return _dc.replace(scene, live_depth=scene.max_depth + 1)
+    return scene
+
+
+class _MirrorAwareJit:
+    """jit wrapper applying :func:`restore_mirror_chain` to the scene
+    argument before dispatch — including through ``.lower()`` (AOT)."""
+
+    def __init__(self, fn, static_argnames):
+        self._jit = jax.jit(fn, static_argnames=static_argnames)
+        functools.update_wrapper(self, fn)
+
+    def __call__(self, scene, *args, **kwargs):
+        return self._jit(restore_mirror_chain(scene), *args, **kwargs)
+
+    def lower(self, scene, *args, **kwargs):
+        return self._jit.lower(restore_mirror_chain(scene), *args, **kwargs)
+
+
+def _render_loss_grad(
     scene,
     o: jnp.ndarray,
     d: jnp.ndarray,
@@ -267,8 +307,7 @@ def render_loss_grad(
     return _loss_grad_tiled(scene, o, d, target, w, cfg, tile)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "tile"))
-def render_loss_grad_image(
+def _render_loss_grad_image(
     scene,
     camera: Camera,
     target_img: jnp.ndarray,
@@ -309,6 +348,11 @@ def render_loss_grad_image(
     )
 
 
+render_loss_grad = _MirrorAwareJit(_render_loss_grad, ("cfg", "tile"))
+render_loss_grad_image = _MirrorAwareJit(_render_loss_grad_image,
+                                         ("cfg", "tile"))
+
+
 def _deviation(img: jnp.ndarray) -> jnp.ndarray:
     """Sum of squared color distance to the 4-neighborhood.
 
@@ -330,24 +374,39 @@ def _deviation(img: jnp.ndarray) -> jnp.ndarray:
 @functools.partial(
     jax.jit, static_argnames=("cfg", "tile", "subp", "budget_frac")
 )
-def render_aa(
+def _aa_refine(
     scene,
     camera: Camera,
+    img1: jnp.ndarray,
     cfg: tr.TraceConfig = tr.TraceConfig(),
     tile: int = TILE,
     subp: int = AA_SUBP,
     threshold: float = AA_THRESHOLD,
     budget_frac: float = 0.10,
 ) -> jnp.ndarray:
-    """Render + adaptive supersampling second pass -> [H, W, 3] in [0,1].
+    """Adaptive-supersampling second pass over a finished pass-1 image.
 
-    ``budget_frac`` is the static compaction budget as a fraction of the
-    image; above-threshold pixels beyond the budget (ordered by
-    deviation) would keep their 1-spp color.
+    Compiled SEPARATELY from the primary render so the two programs
+    share nothing: pass 1 reuses the exact program the forward benchmark
+    already compiled, and this refine program only carries the (much
+    smaller) supersample trace — round 3's fused render_aa recompiled
+    the whole pass-1 pipeline inside the AA jit (24.7 s compile).
+    """
+    top_idx, sel, o, d = _aa_rays(camera, img1, subp, threshold,
+                                  budget_frac)
+    colors = _trace_tiled(scene, o, d, cfg, tile)
+    return _aa_apply(camera, img1, top_idx, sel, colors, subp)
+
+
+def _aa_rays(camera, img1, subp, threshold, budget_frac):
+    """Deviation selection + supersample ray batch for the AA pass.
+
+    Returns (top_idx [K], sel [K], o [K*subp^2, 3], d [K*subp^2, 3]) in
+    2D-block screen order. Shared by the single-chip and sharded AA
+    drivers — the selection is a per-image (global) computation, so the
+    sharded path runs it replicated and shards only the rays.
     """
     H, W = camera.height, camera.width
-    img1 = render(scene, camera, cfg, tile, clamp=True)
-
     dev = _deviation(img1).ravel()
     K = max(1, int(H * W * budget_frac))
     K = min(K, H * W)
@@ -386,9 +445,36 @@ def render_aa(
     o = jnp.where(sel_ray[:, None], o, jnp.float32(3e18))
     d = jnp.where(sel_ray[:, None], d,
                   jnp.array([1.0, 0.0, 0.0], o.dtype)[None])
-    colors = _trace_tiled(scene, o, d, cfg, tile)
-    avg = jnp.minimum(colors.reshape(K, subp * subp, 3).mean(axis=1), 1.0)
+    return top_idx, sel, o, d
 
+
+def _aa_apply(camera, img1, top_idx, sel, colors, subp):
+    """Average the supersample colors and scatter them into img1."""
+    H, W = camera.height, camera.width
+    K = top_idx.shape[0]
+    avg = jnp.minimum(colors.reshape(K, subp * subp, 3).mean(axis=1), 1.0)
     flat = img1.reshape(-1, 3)
     new = jnp.where(sel[:, None], avg, flat[top_idx])
     return flat.at[top_idx].set(new).reshape(H, W, 3)
+
+
+def render_aa(
+    scene,
+    camera: Camera,
+    cfg: tr.TraceConfig = tr.TraceConfig(),
+    tile: int = TILE,
+    subp: int = AA_SUBP,
+    threshold: float = AA_THRESHOLD,
+    budget_frac: float = 0.10,
+) -> jnp.ndarray:
+    """Render + adaptive supersampling second pass -> [H, W, 3] in [0,1].
+
+    Two separately-jitted passes (primary render + :func:`_aa_refine`);
+    results are identical to the old fused form. ``budget_frac`` is the
+    static compaction budget as a fraction of the image; above-threshold
+    pixels beyond the budget (ordered by deviation) would keep their
+    pass-1 color.
+    """
+    img1 = render(scene, camera, cfg, tile, clamp=True)
+    return _aa_refine(scene, camera, img1, cfg, tile, subp, threshold,
+                      budget_frac)

@@ -67,16 +67,41 @@ def _pad_rays(o, d, n_shards):
     return o, d, R
 
 
+@functools.lru_cache(maxsize=None)
+def _sharded_trace_program(mesh, cfg, tile, quantum):
+    """Cached jitted shard_map'ed tile-stream trace (rays sharded).
+
+    Built once per (mesh, cfg, tile) — defining the closure inside the
+    caller would hand jax.jit a fresh function object per call and
+    re-trace every time.
+    """
+    from myraytracer_tpu.ops.render import _trace_tiled
+
+    @jax.jit
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(RAY_AXIS), P(RAY_AXIS)),
+        out_specs=P(RAY_AXIS),
+        check_vma=False,
+    )
+    def _fwd(scene, o, d):
+        return _trace_tiled(scene, o, d, cfg, tile, quantum=quantum)
+
+    return _fwd
+
+
 def render_sharded(scene, camera, mesh, cfg: tr.TraceConfig = tr.TraceConfig()):
     """Forward render with rays sharded across ``mesh`` -> [H, W, 3].
 
     Rays are laid out in 2D screen blocks (ops/render.BLOCK) before
     sharding, so each chip receives whole coherent tiles and traces them
-    with the same tiled driver as the single-chip path — per-chip
-    behavior (cluster culling, memory) is identical, communication stays
-    zero.
+    with the same tiled driver — swept TILE size, loop-hoisted
+    pack_shade_geom — as the single-chip path (ops/render.render): per-
+    chip behavior (cluster culling, tiling, memory) is identical,
+    communication stays zero.
     """
-    from myraytracer_tpu.ops.render import BLOCK, _trace_tiled
+    from myraytracer_tpu.ops.render import BLOCK, TILE, _trace_tiled
 
     H, W = camera.height, camera.width
     bh = bw = BLOCK
@@ -91,19 +116,11 @@ def render_sharded(scene, camera, mesh, cfg: tr.TraceConfig = tr.TraceConfig()):
         return a.reshape(Hp // bh, bh, Wp // bw, bw).transpose(0, 2, 1, 3).reshape(-1)
 
     o, d = camera.primary_rays(to_blocks(xs), to_blocks(ys))
-    o, d, R = _pad_rays(o, d, mesh.devices.size)
-
-    @jax.jit
-    @functools.partial(
-        jax.shard_map,
-        mesh=mesh,
-        in_specs=(P(), P(RAY_AXIS), P(RAY_AXIS)),
-        out_specs=P(RAY_AXIS),
-        check_vma=False,
-    )
-    def _fwd(scene, o, d):
-        return _trace_tiled(scene, o, d, cfg, bh * bw)
-
+    # shards are whole numbers of screen blocks so every chip's tile
+    # stream sees the same coherent 2D footprints as the single-chip path
+    o, d, R = _pad_rays(o, d, mesh.devices.size * bh * bw)
+    tile_eff = max(bh * bw, (TILE // (bh * bw)) * (bh * bw))
+    _fwd = _sharded_trace_program(mesh, cfg, tile_eff, bh * bw)
     color = _fwd(scene, o, d)[:R]
     img = (
         color.reshape(Hp // bh, Wp // bw, bh, bw, 3)
@@ -113,13 +130,77 @@ def render_sharded(scene, camera, mesh, cfg: tr.TraceConfig = tr.TraceConfig()):
     return jnp.minimum(img, 1.0)
 
 
-def make_train_step(mesh, cfg: tr.TraceConfig = tr.TraceConfig(), lr: float = 1e-3):
+def render_aa_sharded(scene, camera, mesh,
+                      cfg: tr.TraceConfig = tr.TraceConfig(),
+                      subp: int | None = None,
+                      threshold: float | None = None,
+                      budget_frac: float = 0.10):
+    """render_sharded + the adaptive-supersampling pass -> [H, W, 3].
+
+    The reference GPU path ALWAYS runs its AA kernel after pass 1
+    (mytracer_gpu.cu:83-109), so the at-scale driver must too. The
+    deviation selection is a per-image (global) computation: it runs
+    replicated (ops/render._aa_rays); only the K*subp^2 supersample rays
+    are sharded over the mesh. Matches the single-chip render_aa to fp32
+    rounding (tests/test_parallel.py).
+    """
+    from myraytracer_tpu.ops import render as R
+
+    subp = R.AA_SUBP if subp is None else subp
+    threshold = R.AA_THRESHOLD if threshold is None else threshold
+    img1 = render_sharded(scene, camera, mesh, cfg)
+
+    n_shards = mesh.devices.size
+    s2 = subp * subp
+    tile_eff = max(s2, (R.TILE // s2) * s2)
+
+    top_idx, sel, o, d = _aa_select_program(subp, threshold, budget_frac)(
+        camera, img1)
+    o, d, Rr = _pad_rays(o, d, n_shards * s2)
+    colors = _sharded_trace_program(mesh, cfg, tile_eff, s2)(scene, o, d)[:Rr]
+    return _aa_apply_program(subp)(camera, img1, top_idx, sel, colors)
+
+
+@functools.lru_cache(maxsize=None)
+def _aa_select_program(subp, threshold, budget_frac):
+    from myraytracer_tpu.ops import render as R
+
+    @jax.jit
+    def select(camera, img1):
+        return R._aa_rays(camera, img1, subp, threshold, budget_frac)
+
+    return select
+
+
+@functools.lru_cache(maxsize=None)
+def _aa_apply_program(subp):
+    from myraytracer_tpu.ops import render as R
+
+    @jax.jit
+    def apply_(camera, img1, top_idx, sel, colors):
+        return R._aa_apply(camera, img1, top_idx, sel, colors, subp)
+
+    return apply_
+
+
+def make_train_step(mesh, cfg: tr.TraceConfig = tr.TraceConfig(), lr: float = 1e-3,
+                    tile: int | None = None):
     """Build a jitted sharded inverse-rendering SGD step.
 
-    Returns step(scene, o, d, target) -> (scene', loss): rays and target
-    pixels sharded over ``mesh``; loss is the global mean squared error of
-    the unclamped linear image; scene updates are replicated.
+    Returns step(scene, o, d, target, w) -> (scene', loss): rays and
+    target pixels sharded over ``mesh``; loss is the global mean squared
+    error of the unclamped linear image; scene updates are replicated.
+
+    Each shard runs the SAME driver as the single-chip benchmark path
+    (ops/render._loss_grad_tiled): swept LOSS_TILE remat tiles, the
+    loop-hoisted pack_shade_geom, per-step accel refit, and the two-phase
+    topology/shading-replay backward — the expensive traversal/occlusion
+    scans run once per step, never in the backward. The one cross-chip
+    collective is the psum of loss + scene-param grads.
     """
+    from myraytracer_tpu.ops.render import LOSS_TILE, _loss_grad_tiled
+
+    tile = LOSS_TILE if tile is None else tile
 
     @jax.jit
     @functools.partial(
@@ -130,33 +211,29 @@ def make_train_step(mesh, cfg: tr.TraceConfig = tr.TraceConfig(), lr: float = 1e
         check_vma=False,
     )
     def step(scene, o, d, target, w):
-        # grads include mat_mirror: restore a statically-trimmed mirror
-        # chain so d(loss)/d(mirror) keeps the reflected term (the
-        # live_depth trap — see ops/render._loss_grad_tiled)
-        if scene.live_depth and scene.live_depth <= scene.max_depth:
-            scene = dataclasses.replace(scene,
-                                        live_depth=scene.max_depth + 1)
-        params = split_params(scene)
-
-        def loss_fn(p):
-            s = merge_params(scene, p)
-            # vertex_pos is an optimized leaf: refit BVH/cluster bounds
-            # from the current vertices so culling stays conservative
-            # across steps (ops/refit.py)
-            s = refit_accel(s)
-            c = tr.trace(s, o, d, cfg)
-            # w masks padded rays out of loss and gradient
-            return jnp.sum(w[:, None] * (c - target) ** 2)
-
-        loss, grads = jax.value_and_grad(loss_fn)(params)
+        # per-shard loss + grads through the full single-chip driver
+        # (includes the vertex_pos accel refit, ops/refit.py)
+        loss, grads = _loss_grad_tiled(scene, o, d, target, w, cfg, tile)
         # the one cross-chip collective: all-reduce scene-param grads
         loss = jax.lax.psum(loss, RAY_AXIS)
         grads = jax.tree.map(lambda g: jax.lax.psum(g, RAY_AXIS), grads)
         n_total = jax.lax.psum(jnp.sum(w), RAY_AXIS) * 3
+        params = split_params(scene)
         new_params = jax.tree.map(lambda p, g: p - lr * g / n_total, params, grads)
         return merge_params(scene, new_params), loss / n_total
 
-    return step
+    def step_checked(scene, o, d, target, w):
+        # mat_mirror is in the optimized set: once a step moves mirror
+        # above 0, a statically-trimmed chain (live_depth=1) would drop
+        # the reflected term from d(loss)/d(mirror). The restore decision
+        # runs HERE, at the jit boundary, from the concrete values — free
+        # while mirror stays 0, one recompile when it first grows
+        # (ops/render.restore_mirror_chain).
+        from myraytracer_tpu.ops.render import restore_mirror_chain
+
+        return step(restore_mirror_chain(scene), o, d, target, w)
+
+    return step_checked
 
 
 def train_step_sharded(scene, o, d, target, mesh, lr: float = 1e-3,

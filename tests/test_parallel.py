@@ -44,6 +44,24 @@ def test_sharded_render_matches_single(n_dev):
     np.testing.assert_allclose(got, want, atol=1e-5)
 
 
+@pytest.mark.parametrize("n_dev", [1, 8])
+def test_sharded_aa_matches_single(n_dev):
+    """The AA pass under the ray mesh: selection replicated, supersample
+    rays sharded — must reproduce the single-device render_aa to fp32
+    rounding (identical math; XLA fuses the two program partitions
+    differently, so bitwise equality is not guaranteed)."""
+    from myraytracer_tpu.ops.render import render_aa
+    from myraytracer_tpu.parallel import render_aa_sharded
+
+    s = tiny_scene(24, 24)
+    data = s.build()
+    mesh = make_mesh(n_dev)
+    want = np.asarray(render_aa(data, s.camera, budget_frac=0.2))
+    got = np.asarray(render_aa_sharded(data, s.camera, mesh,
+                                       budget_frac=0.2))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
 def test_train_step_runs_and_reduces_loss():
     s = tiny_scene()
     data = s.build()
