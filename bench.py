@@ -377,7 +377,9 @@ def _measure() -> None:
 
         img1 = render(scene, sc.camera)
         frac = float((jnp.asarray(_deviation(img1)) > AA_THRESHOLD).mean())
-        aa_budget = max(0.01, math.ceil(frac * 1.3 / 0.005) * 0.005)
+        # the deviation map is deterministic for a fixed scene+resolution,
+        # so the margin only covers fp noise across runs — 10% is plenty
+        aa_budget = max(0.01, math.ceil(frac * 1.1 / 0.0025) * 0.0025)
         result["aa_budget"] = aa_budget
         sys.stderr.write(
             f"bench: AA above-threshold frac {frac:.4f} -> budget {aa_budget}\n")

@@ -223,10 +223,19 @@ class Scene:
         native C++ fast path).
         """
         materials: List[Material] = []
+        mat_index: dict = {}
 
         def mat_id(m: Material) -> int:
-            materials.append(m)
-            return len(materials) - 1
+            # dedupe identical materials: authoring adds one per object,
+            # but many objects share a material — a compact table keeps
+            # per-ray material selects cheap (ops/pallas_shade's in-kernel
+            # table unroll) and shrinks the differentiable mat_* leaves
+            key = (tuple(m.ambient), tuple(m.diffuse), tuple(m.specular),
+                   float(m.mirror), float(m.shininess), bool(m.shadowable))
+            if key not in mat_index:
+                mat_index[key] = len(materials)
+                materials.append(m)
+            return mat_index[key]
 
         # spheres / planes
         s_center = np.zeros((len(self._spheres), 3), np.float32)

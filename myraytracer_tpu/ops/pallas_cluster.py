@@ -508,7 +508,7 @@ def intersect_clusters_pallas(
         cl_const = pack_cluster_constants(scene)
 
     M = scene.cl_M
-    inv_d = 1.0 / d
+    inv_d = 1.0 / d[:, :3]
     t0 = jnp.full((R,), isx.INF) if t_max is None else jnp.asarray(t_max)
     act = jnp.ones((R,), jnp.int32) if active is None else active.astype(jnp.int32)
 
@@ -549,8 +549,11 @@ def intersect_clusters_pallas(
     n_tiles = (R + RAY_TILE - 1) // RAY_TILE
     Rp = n_tiles * RAY_TILE
     pad = Rp - R
-    o4 = jnp.pad(o, ((0, pad), (0, 1)))
-    d4 = jnp.pad(d, ((0, pad), (0, 1)), constant_values=1.0)
+    # callers may hand in 4-wide pre-padded rays (ops/pallas_shade emits
+    # them directly); only pad the component axis when it is 3-wide
+    wpad = 4 - o.shape[1]
+    o4 = jnp.pad(o, ((0, pad), (0, wpad)))
+    d4 = jnp.pad(d, ((0, pad), (0, wpad)), constant_values=1.0)
     t0p = jnp.pad(t0, (0, pad))
     actp = jnp.pad(act, (0, pad))
 

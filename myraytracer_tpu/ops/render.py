@@ -122,6 +122,12 @@ def render(
     differentiable path prefers the unclamped linear image).
     """
     H, W = camera.height, camera.width
+    # clamp=True marks the non-differentiated usage (the linear-image
+    # docstring contract): safe to route through the fused Pallas shading
+    # kernels, which have no VJP (ops/pallas_shade.py). clamp=False
+    # callers may grad through this function and keep the XLA shading.
+    if clamp:
+        cfg = cfg._replace(fused_shade=True)
     bh = bw = BLOCK
     Hp = ((H + bh - 1) // bh) * bh
     Wp = ((W + bw - 1) // bw) * bw
@@ -195,10 +201,15 @@ def _loss_grad_tiled(scene, o, d, target, w, cfg, tile):
         # topology pass hoisted OUTSIDE value_and_grad: the expensive
         # traversal/occlusion scans run exactly once, and their stacked
         # results (~ints/bools per ray/segment) feed the loss as plain
-        # inputs the AD transform cannot re-run
+        # inputs the AD transform cannot re-run. The pass is stop-grad by
+        # definition, so it always may use the fused Pallas shading
+        # pipeline (ops/pallas_shade); the differentiable shading REPLAY
+        # below keeps the XLA path.
+        topo_cfg = cfg._replace(fused_shade=True)
         topo_geom = shade.pack_shade_geom(scene)  # loop-invariant pack
         topo_all = jax.lax.map(
-            lambda x: tr.trace_topology(scene, x[0], x[1], cfg, topo_geom),
+            lambda x: tr.trace_topology(scene, x[0], x[1], topo_cfg,
+                                        topo_geom),
             (o_t, d_t))
 
         def shade_loss(p, geom, topo, ot, dt, tt, wt):
@@ -394,7 +405,8 @@ def _aa_refine(
     """
     top_idx, sel, o, d = _aa_rays(camera, img1, subp, threshold,
                                   budget_frac)
-    colors = _trace_tiled(scene, o, d, cfg, tile)
+    # the AA pass is never differentiated: fused Pallas shading is safe
+    colors = _trace_tiled(scene, o, d, cfg._replace(fused_shade=True), tile)
     return _aa_apply(camera, img1, top_idx, sel, colors, subp)
 
 

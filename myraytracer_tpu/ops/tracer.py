@@ -67,6 +67,14 @@ class TraceConfig(NamedTuple):
     #: XLA scan: office 1080p fwd 0.534 s vs 0.597 s, fwd+bwd 1.31 s vs
     #: 1.64 s), OFF elsewhere (interpret mode is for tests only).
     use_pallas_cluster: bool | None = None
+    #: fuse hit-resolve + shadow setup + Phong + bounce into two Pallas
+    #: kernels per segment (ops/pallas_shade.py). The kernels have NO
+    #: VJP, so this must stay False anywhere trace() is differentiated;
+    #: the forward drivers (ops/render.render, _aa_refine, the sharded
+    #: forward) opt in. Applies only to untextured triangle-only scenes
+    #: with lights on the cluster+Pallas path; silently ignored
+    #: otherwise.
+    fused_shade: bool = False
 
     def resolved_method(self) -> str:
         if self.tri_method == "auto":
@@ -77,6 +85,20 @@ class TraceConfig(NamedTuple):
         if self.use_pallas_cluster is None:
             return jax.default_backend() == "tpu"
         return self.use_pallas_cluster
+
+    def resolved_fused_shade(self, scene) -> bool:
+        from myraytracer_tpu.ops.pallas_shade import MAX_MATERIALS
+
+        return bool(
+            self.fused_shade
+            and scene.n_tris
+            and not (scene.n_spheres or scene.n_planes or scene.n_cylinders)
+            and not scene.has_textures
+            and scene.n_lights >= 1
+            and scene.mat_diffuse.shape[0] <= MAX_MATERIALS
+            and self.resolved_method() == "cluster"
+            and self.resolved_pallas()
+        )
 
 
 def _tri_caches(scene, cfg: TraceConfig):
@@ -428,6 +450,55 @@ def trace(
     if geom is None:
         geom = shade.pack_shade_geom(scene)
 
+    if cfg.resolved_fused_shade(scene):
+        from myraytracer_tpu.ops import pallas_shade as ps
+        from myraytracer_tpu.ops.pallas_cluster import (
+            intersect_clusters_pallas)
+
+        interp = jax.default_backend() != "tpu"
+
+        def segment_fused(carry: _Bounce) -> _Bounce:
+            """One Whitted segment through the fused kernel pipeline:
+            traversal megakernel -> ONE rows48 gather (+ a 1-D mat-id
+            gather) -> pre kernel (resolve + shadow setup) -> any-hit
+            megakernel -> phong kernel (lighting + blend + bounce). Same
+            math as :func:`segment` below, minus ~20 XLA glue fusions."""
+            live = carry.weight > 0.0
+            tri = intersect_clusters_pallas(
+                scene, jax.lax.stop_gradient(carry.o),
+                jax.lax.stop_gradient(carry.d), active=live,
+                cl_const=cl_tris, interpret=interp)
+            valid = tri.idx >= 0
+            rows48 = geom.tri_pack[jnp.maximum(tri.idx, 0)]
+            point, normal, mat_id, so, sd, st, sact = ps.shade_pre(
+                carry.o, carry.d, tri.t, valid, live, rows48,
+                geom.mat16, scene.light_pos, interpret=interp)
+            occ = intersect_clusters_pallas(
+                scene, so, sd, t_max=st, any_hit=True, active=sact > 0,
+                cl_const=cl_tris, interpret=interp)
+            shadow = (occ.idx >= 0).reshape(scene.n_lights, R)
+            add, o2, d2, w2 = ps.shade_phong(
+                carry.o, carry.d, carry.weight, valid, live, mat_id,
+                point, normal, shadow, geom.mat16, scene.light_pos,
+                scene.light_color, scene.ambience, scene.background,
+                interpret=interp)
+            return _Bounce(o=o2, d=d2, weight=w2, color=carry.color + add)
+
+        def body_fused(carry: _Bounce, _):
+            nxt = jax.lax.cond(
+                jnp.any(carry.weight > 0.0), segment_fused, lambda c: c,
+                carry)
+            return nxt, None
+
+        init = _Bounce(
+            o=o, d=d,
+            weight=jnp.ones((R,), o.dtype),
+            color=jnp.zeros((R, 3), o.dtype),
+        )
+        out, _ = jax.lax.scan(body_fused, init, None,
+                              length=scene.n_segments)
+        return out.color
+
     def segment(carry: _Bounce) -> _Bounce:
         live = carry.weight > 0.0
         kind, idx = intersect_scene(scene, carry.o, carry.d, active=live,
@@ -501,6 +572,65 @@ def trace_topology(
     else:
         geom = jax.tree.map(jax.lax.stop_gradient, geom)
     L = max(scene.n_lights, 1)
+
+    if cfg.resolved_fused_shade(scene):
+        # the topology pass is stop-gradient by definition, so the fused
+        # kernel pipeline (no VJP) is always legal here; it records the
+        # same discrete outputs while skipping the XLA resolve/shadow
+        # glue. The phong kernel runs anyway to produce the next-ray
+        # bounce state; its color output is simply not recorded.
+        from myraytracer_tpu.ops import pallas_shade as ps
+        from myraytracer_tpu.ops.pallas_cluster import (
+            intersect_clusters_pallas)
+
+        interp = jax.default_backend() != "tpu"
+
+        def segment_fused(carry):
+            live = carry.weight > 0.0
+            tri = intersect_clusters_pallas(
+                scene, carry.o, carry.d, active=live, cl_const=cl_tris,
+                interpret=interp)
+            valid = tri.idx >= 0
+            rows48 = geom.tri_pack[jnp.maximum(tri.idx, 0)]
+            point, normal, mat_id, so, sd, st, sact = ps.shade_pre(
+                carry.o, carry.d, tri.t, valid, live, rows48,
+                geom.mat16, scene.light_pos, interpret=interp)
+            occ = intersect_clusters_pallas(
+                scene, so, sd, t_max=st, any_hit=True, active=sact > 0,
+                cl_const=cl_tris, interpret=interp)
+            shadow = (occ.idx >= 0).reshape(scene.n_lights, R)
+            _, o2, d2, w2 = ps.shade_phong(
+                carry.o, carry.d, carry.weight, valid, live, mat_id,
+                point, normal, shadow, geom.mat16, scene.light_pos,
+                scene.light_color, scene.ambience, scene.background,
+                interpret=interp)
+            h = live & valid
+            miss = live & ~valid
+            kind = jnp.where(valid, shade.KIND_TRI, shade.KIND_MISS)
+            nxt = _Bounce(o=o2, d=d2, weight=w2, color=carry.color)
+            # misses record idx 0 (not the kernel's -1 sentinel) to match
+            # the XLA topology bit-for-bit (consumers gate on kind)
+            return nxt, (kind.astype(jnp.int32), jnp.maximum(tri.idx, 0),
+                         h, miss, shadow)
+
+        def body_fused(carry, _):
+            def dead(c):
+                return c, (
+                    jnp.full((R,), shade.KIND_MISS, jnp.int32),
+                    jnp.zeros((R,), jnp.int32),
+                    jnp.zeros((R,), bool),
+                    jnp.zeros((R,), bool),
+                    jnp.zeros((L, R), bool),
+                )
+
+            return jax.lax.cond(jnp.any(carry.weight > 0.0),
+                                segment_fused, dead, carry)
+
+        init = _Bounce(o=o, d=d, weight=jnp.ones((R,), o.dtype),
+                       color=jnp.zeros((R, 0), o.dtype))
+        _, (kind, idx, h, miss, sh) = jax.lax.scan(
+            body_fused, init, None, length=scene.n_segments)
+        return TraceTopo(kind=kind, idx=idx, hit=h, miss=miss, shadow=sh)
 
     def segment(carry):
         live = carry.weight > 0.0

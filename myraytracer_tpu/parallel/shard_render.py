@@ -120,7 +120,9 @@ def render_sharded(scene, camera, mesh, cfg: tr.TraceConfig = tr.TraceConfig()):
     # stream sees the same coherent 2D footprints as the single-chip path
     o, d, R = _pad_rays(o, d, mesh.devices.size * bh * bw)
     tile_eff = max(bh * bw, (TILE // (bh * bw)) * (bh * bw))
-    _fwd = _sharded_trace_program(mesh, cfg, tile_eff, bh * bw)
+    # forward-only driver: fused Pallas shading is safe (no grads here)
+    _fwd = _sharded_trace_program(mesh, cfg._replace(fused_shade=True),
+                                  tile_eff, bh * bw)
     color = _fwd(scene, o, d)[:R]
     img = (
         color.reshape(Hp // bh, Wp // bw, bh, bw, 3)
@@ -157,7 +159,8 @@ def render_aa_sharded(scene, camera, mesh,
     top_idx, sel, o, d = _aa_select_program(subp, threshold, budget_frac)(
         camera, img1)
     o, d, Rr = _pad_rays(o, d, n_shards * s2)
-    colors = _sharded_trace_program(mesh, cfg, tile_eff, s2)(scene, o, d)[:Rr]
+    colors = _sharded_trace_program(mesh, cfg._replace(fused_shade=True),
+                                    tile_eff, s2)(scene, o, d)[:Rr]
     return _aa_apply_program(subp)(camera, img1, top_idx, sel, colors)
 
 
