@@ -100,11 +100,12 @@ def _trace_tiled(scene, o, d, cfg: tr.TraceConfig, tile: int,
 #: with tighter touched-cluster unions
 BLOCK = int(_os.environ.get("MRT_BLOCK", "32"))
 
-#: rays per loss/grad remat tile (whole screen blocks). Measured on the
-#: office 1080p fwd+bwd (v5e, Pallas path): 4096 -> 1.54 s,
-#: 16384 -> 1.31 s, 65536 -> 2.05 s; four screen blocks per remat tile
-#: amortize the scan/remat overhead without blowing live memory.
-LOSS_TILE = int(_os.environ.get("MRT_LOSS_TILE", str(4 * 64 * 64)))
+#: rays per loss/grad remat tile (whole screen blocks). Round-4 re-sweep
+#: on the office 1080p fwd+bwd with the fused-topology pass (v5e):
+#: 15360 -> 0.296 s, 23040 -> 0.291 s, 30720 -> 0.298 s, 46080 -> 0.307 s
+#: — ~23k rays balance per-tile fixed costs (dense [T,48] cotangent
+#: carry adds, scatter launches) against remat working-set growth.
+LOSS_TILE = int(_os.environ.get("MRT_LOSS_TILE", str(23040)))
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "tile", "clamp"))

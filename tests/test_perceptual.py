@@ -37,12 +37,12 @@ THRESHOLDS = {
     "o_01_spheres": (0.090, 0.203),   # measured 0.0696 / 0.1526
     "o_02_shadow": (0.055, 0.230),    # measured 0.0343 / 0.1800
     "o_03_mirror": (0.063, 0.216),    # measured 0.0430 / 0.1655
-    "o_04_molecule": (0.092, 0.241),  # measured 0.0719 / 0.1908
+    "o_04_molecule": (0.054, 0.176),  # measured 0.0337 / 0.1254 (round-4 rebuild)
     "o_05_cube": (0.039, 0.201),      # measured 0.0185 / 0.1507
     "o_06_mask": (0.047, 0.261),      # measured 0.0262 / 0.2110
-    "o_07_toon_faces": (0.105, 0.229),  # measured 0.0841 / 0.1788
+    "o_07_toon_faces": (0.078, 0.201),  # measured 0.0577 / 0.1508 (round-4 rebuild)
     "o_08_office": (0.093, 0.300),    # measured 0.0727 / 0.2498
-    "o_09_rings": (0.086, 0.279),     # measured 0.0653 / 0.2290
+    "o_09_rings": (0.048, 0.219),     # measured 0.0281 / 0.1688 (round-4 rebuild)
     "o_10_pokemon": (0.084, 0.234),   # measured 0.0632 / 0.1834
 }
 
