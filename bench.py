@@ -316,6 +316,22 @@ def _measure() -> None:
         )
         _emit()
 
+    # steady-state (pipelined) throughput: N dispatches, one sync. Every
+    # single-call wall time above bills a fixed ~28 ms host<->device
+    # round trip through the remote-TPU tunnel (measured: a trivial
+    # jitted x+1 syncs in 27.3 ms); the reference's 5.31 s was
+    # DEVICE-side kernel timing around a local launch
+    # (/root/reference/mytracer_gpu.cu:78-81), so the pipelined number
+    # is the closer apples-to-apples device-throughput comparison. The
+    # headline `value` stays the conservative single-call wall time.
+    NPIPE = 5
+    t0 = time.perf_counter()
+    for _ in range(NPIPE):
+        img = render(scene, sc.camera)
+    sync(img)
+    result["fwd_s_pipelined"] = round((time.perf_counter() - t0) / NPIPE, 4)
+    _emit()
+
     if os.environ.get("BENCH_FWD_ONLY") == "1":
         return
 
@@ -359,6 +375,15 @@ def _measure() -> None:
             total_wall_s=round(time.perf_counter() - t_start, 1),
         )
         _emit()
+
+    # pipelined fwd+bwd (see fwd_s_pipelined comment)
+    t0 = time.perf_counter()
+    for _ in range(NPIPE):
+        loss, grads = run_fb()
+    sync(loss + jnp.asarray(jax.tree.leaves(grads)[0]).sum())
+    result["fwd_bwd_s_pipelined"] = round(
+        (time.perf_counter() - t0) / NPIPE, 4)
+    _emit()
 
     # ---- AA-included forward (apples-to-apples vs the reference GPU) --
     # The reference's 5.31 s GPU number ALWAYS includes its adaptive-
@@ -407,6 +432,15 @@ def _measure() -> None:
                 total_wall_s=round(time.perf_counter() - t_start, 1),
             )
             _emit()
+
+        # pipelined render+AA (see fwd_s_pipelined comment)
+        t0 = time.perf_counter()
+        for _ in range(NPIPE):
+            img = render_aa(scene, sc.camera, budget_frac=aa_budget)
+        sync(img)
+        result["aa_s_pipelined"] = round((time.perf_counter() - t0) / NPIPE, 4)
+        result["total_wall_s"] = round(time.perf_counter() - t_start, 1)
+        _emit()
 
 
 if __name__ == "__main__":

@@ -218,7 +218,8 @@ def _loss_grad_tiled(scene, o, d, target, w, cfg, tile):
                                geom=geom)
             return jnp.sum(wt[:, None] * (c - tt) ** 2)
 
-        shade_loss = jax.checkpoint(shade_loss)
+        if _os.environ.get("MRT_REPLAY_CKPT", "1") == "1":
+            shade_loss = jax.checkpoint(shade_loss)
 
         def loss_fn(p):
             # packed gather rows built ONCE per pass (shade.ShadeGeom):
