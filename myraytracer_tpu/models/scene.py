@@ -371,7 +371,14 @@ class Scene:
         if n_tris > 0:
             from myraytracer_tpu.ops.cluster import build_clusters
 
-            cl_first, cl_count, cl_bbmin, cl_bbmax = build_clusters(tree, n_tris, cl_M)
+            # per-tri bounds in leaf order feed the SA-optimal DP cut
+            q0 = vertex_pos[tri_vidx_a[:, 0]]
+            q1 = vertex_pos[tri_vidx_a[:, 1]]
+            q2 = vertex_pos[tri_vidx_a[:, 2]]
+            tbmin = np.minimum(np.minimum(q0, q1), q2)
+            tbmax = np.maximum(np.maximum(q0, q1), q2)
+            cl_first, cl_count, cl_bbmin, cl_bbmax = build_clusters(
+                tree, n_tris, cl_M, tri_bounds=(tbmin, tbmax))
         else:
             cl_first = np.zeros((1,), np.int32)
             cl_count = np.zeros((1,), np.int32)

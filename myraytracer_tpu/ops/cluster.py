@@ -39,12 +39,102 @@ from myraytracer_tpu.ops.traverse import TriHit
 CLUSTER_M = 128
 
 
-def build_clusters(bvh, leaf_order_tris: int, m: int = CLUSTER_M):
+def _dp_cut(tri_bbmin: np.ndarray, tri_bbmax: np.ndarray, m: int):
+    """Optimal partition of the leaf order into runs of <= m triangles.
+
+    The kernel's cost per (subgroup, touched cluster) visit is FIXED —
+    one 8 KB DMA plus a full dense [SUB, M] solve, masked lanes
+    included — and a cluster's touch probability is ~proportional to its
+    AABB surface area. So the right objective for the cut is simply
+    ``minimize sum of cluster-box surface areas`` over all partitions of
+    the (spatially coherent, BVH-DFS) leaf order into contiguous runs of
+    at most m triangles: an O(T*m) dynamic program, vectorized over the
+    window axis. A tiny per-cluster epsilon breaks SA ties toward fewer,
+    fuller clusters (less phase-1 work, fewer DMAs).
+
+    Against the subtree cut on the office scene this packs 247 clusters
+    at 64% mean fill into ~157 at ~99% with a LOWER total SA — the
+    subtree cut wastes 36% of every dense solve on padding lanes.
+    """
+    T = tri_bbmin.shape[0]
+    INF = np.float32(np.inf)
+    # sa_w[w-1, i] = surface area of the union box of tris [i, i+w)
+    bmin = tri_bbmin.copy()
+    bmax = tri_bbmax.copy()
+    sa_w = np.full((m, T), INF, np.float32)
+
+    def _sa(bmin, bmax):
+        e = np.maximum(bmax - bmin, 0.0)
+        return 2.0 * (e[:, 0] * e[:, 1] + e[:, 1] * e[:, 2]
+                      + e[:, 2] * e[:, 0])
+
+    sa_w[0] = _sa(bmin, bmax)
+    for w in range(2, min(m, T) + 1):
+        bmin = np.minimum(bmin[:-1], tri_bbmin[w - 1:])
+        bmax = np.maximum(bmax[:-1], tri_bbmax[w - 1:])
+        sa_w[w - 1, :T - w + 1] = _sa(bmin, bmax)
+
+    # per-cluster penalty: every cluster costs phase-1 slab work (per
+    # subgroup, per cluster) + SMEM table rows + a sort key, independent
+    # of its content. Expressed as a fraction of the ROOT box SA so the
+    # knob is scene-scale-free. Office calibration: kernels 113 ms at
+    # total SA 915 (-> ~0.12 ms per SA unit) vs phase-1 17.8 ms over 247
+    # clusters (-> ~0.07 ms per cluster) puts the break-even near
+    # 0.6 SA units = ~5e-4 of the root SA; measured sweep below.
+    # swept on the office 1080p forward (v5e): 0.002 -> 0.1727 s (K=239),
+    # 0.0005 -> 0.1632 (K=310), 0.0002 -> 0.1621 (K=380),
+    # 0.0001 -> 0.1661 (K=443); vs the subtree cut's 0.2003 s (K=247).
+    # The valley is flat below 0.001 — phase-1's per-cluster cost is
+    # smaller than the calibration estimate because the fused kernel
+    # amortizes it across subgroups.
+    root_sa = float(_sa(tri_bbmin.min(0)[None], tri_bbmax.max(0)[None])[0])
+    krel = float(_os.environ.get("MRT_CLUSTER_KAPPA", "0.0002"))
+    eps = np.float32(max(krel * root_sa, 1e-12))
+    # cost[i] = best total SA of a valid partition of tris [0, i)
+    cost = np.full(T + 1, INF, np.float32)
+    back = np.zeros(T + 1, np.int32)
+    cost[0] = 0.0
+    ws = np.arange(1, m + 1)
+    for i in range(1, T + 1):
+        w = ws[:min(i, m)]
+        cand = cost[i - w] + sa_w[w - 1, i - w] + eps
+        j = int(np.argmin(cand))
+        cost[i] = cand[j]
+        back[i] = i - int(w[j])
+    cuts = []
+    i = T
+    while i > 0:
+        cuts.append((back[i], i))
+        i = back[i]
+    cuts.reverse()
+    first = np.asarray([a for a, _ in cuts], np.int32)
+    count = np.asarray([b - a for a, b in cuts], np.int32)
+    K = len(cuts)
+    cl_bbmin = np.empty((K, 3), np.float32)
+    cl_bbmax = np.empty((K, 3), np.float32)
+    for k, (a, b) in enumerate(cuts):
+        cl_bbmin[k] = tri_bbmin[a:b].min(0)
+        cl_bbmax[k] = tri_bbmax[a:b].max(0)
+    return first, count, cl_bbmin, cl_bbmax
+
+
+def build_clusters(bvh, leaf_order_tris: int, m: int = CLUSTER_M,
+                   tri_bounds=None):
     """Cut a built BVHArrays into clusters of <= m triangles.
 
     Returns (first [K], count [K], bbmin [K,3], bbmax [K,3]) in DFS
     order (spatially coherent). Host-side NumPy.
+
+    With ``tri_bounds`` (per-triangle (bbmin, bbmax) in leaf order) the
+    default cut is the optimal-partition DP (:func:`_dp_cut`), which
+    minimizes total cluster surface area — the kernel's actual cost
+    model — instead of respecting subtree boundaries. Set
+    MRT_CLUSTER_CUT=subtree to force the round-1 subtree cut.
     """
+    mode = _os.environ.get("MRT_CLUSTER_CUT", "dp")
+    if tri_bounds is not None and mode == "dp":
+        return _dp_cut(np.asarray(tri_bounds[0], np.float32),
+                       np.asarray(tri_bounds[1], np.float32), m)
     first, count, left = bvh.first, bvh.count, bvh.left
     bbmin, bbmax = bvh.bbmin, bvh.bbmax
 
@@ -75,6 +165,35 @@ def build_clusters(bvh, leaf_order_tris: int, m: int = CLUSTER_M):
         else:
             stack.append(left[n] + 1)
             stack.append(left[n])
+
+    # ---- fill-merge post-pass: the subtree cut leaves clusters ~64%
+    # full on real scenes (office: 247 clusters, mean 81/128), and the
+    # dense solve executes all M lanes regardless — ~36% of solve flops
+    # test padding. DFS-adjacent clusters cover contiguous triangle
+    # ranges, so merging neighbors keeps every cluster a contiguous
+    # range; a surface-area guard only accepts merges whose union box
+    # isn't much looser than the parts (a loose union would cost more
+    # false subgroup touches than the reclaimed lanes save). lam is the
+    # allowed SA(union)/(SA(a)+SA(b)) ratio; 0 disables.
+    lam = float(_os.environ.get("MRT_CLUSTER_MERGE_SA", "0.75"))
+
+    def _sa(bmin, bmax):
+        e = np.maximum(bmax - bmin, 0.0)
+        return 2.0 * (e[0] * e[1] + e[1] * e[2] + e[2] * e[0])
+
+    if lam > 0.0 and len(out) > 1:
+        merged = [list(out[0])]
+        for lo, cnt, bmin, bmax in out[1:]:
+            plo, pcnt, pbmin, pbmax = merged[-1]
+            if pcnt + cnt <= m:
+                ubmin = np.minimum(pbmin, bmin)
+                ubmax = np.maximum(pbmax, bmax)
+                if _sa(ubmin, ubmax) <= lam * (_sa(pbmin, pbmax)
+                                               + _sa(bmin, bmax)):
+                    merged[-1] = [plo, pcnt + cnt, ubmin, ubmax]
+                    continue
+            merged.append([lo, cnt, bmin, bmax])
+        out = [tuple(x) for x in merged]
 
     K = len(out)
     cl_first = np.asarray([o[0] for o in out], np.int32)

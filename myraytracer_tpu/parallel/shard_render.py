@@ -236,6 +236,14 @@ def make_train_step(mesh, cfg: tr.TraceConfig = tr.TraceConfig(), lr: float = 1e
 
         return step(restore_mirror_chain(scene), o, d, target, w)
 
+    # AOT hook, same contract as ops/render._MirrorAwareJit: callers
+    # (tools/weak_scaling.py) lower()/compile() for per-device
+    # cost_analysis, with the mirror-restore applied to the concrete
+    # scene exactly as a live call would
+    from myraytracer_tpu.ops.render import restore_mirror_chain as _rmc
+
+    step_checked.lower = lambda scene, *a, **kw: step.lower(
+        _rmc(scene), *a, **kw)
     return step_checked
 
 
