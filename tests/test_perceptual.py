@@ -34,7 +34,7 @@ SCALE = 0.25
 #: are deterministic on the CPU test backend so the margins only cover
 #: future intentional scene edits)
 THRESHOLDS = {
-    "o_01_spheres": (0.090, 0.203),   # measured 0.0696 / 0.1526
+    "o_01_spheres": (0.072, 0.178),   # measured 0.0517 / 0.1282 (round-4 rebuild)
     "o_02_shadow": (0.055, 0.230),    # measured 0.0343 / 0.1800
     "o_03_mirror": (0.063, 0.216),    # measured 0.0430 / 0.1655
     "o_04_molecule": (0.054, 0.176),  # measured 0.0337 / 0.1254 (round-4 rebuild)
@@ -43,7 +43,7 @@ THRESHOLDS = {
     "o_07_toon_faces": (0.078, 0.201),  # measured 0.0577 / 0.1508 (round-4 rebuild)
     "o_08_office": (0.093, 0.300),    # measured 0.0727 / 0.2498
     "o_09_rings": (0.048, 0.219),     # measured 0.0281 / 0.1688 (round-4 rebuild)
-    "o_10_pokemon": (0.084, 0.234),   # measured 0.0632 / 0.1834
+    "o_10_pokemon": (0.069, 0.176),   # measured 0.0488 / 0.1261 (round-4 rebuild)
 }
 
 
