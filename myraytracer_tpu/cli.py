@@ -34,6 +34,26 @@ def _build_parser() -> argparse.ArgumentParser:
 
     b = sub.add_parser("bench", help="run the headline benchmark")
     b.add_argument("--small", action="store_true")
+
+    f = sub.add_parser(
+        "fit", help="inverse rendering: fit scene parameters to a target "
+                    "image (gradient descent through the renderer)")
+    fsrc = f.add_mutually_exclusive_group(required=True)
+    fsrc.add_argument("--scene", help="path to a .sce scene file")
+    fsrc.add_argument("--golden", help="golden scene name")
+    f.add_argument("--target", required=True, help="target PNG to match "
+                   "(must be the scene's resolution)")
+    f.add_argument("--params", default="mat_diffuse,light_color",
+                   help="comma-separated float leaves to optimize (e.g. "
+                   "mat_diffuse,light_pos,vertex_pos,cam_eye,cam_fovy)")
+    f.add_argument("--steps", type=int, default=200)
+    f.add_argument("--lr", type=float, default=5e-2)
+    f.add_argument("--scale", type=float, default=1.0)
+    f.add_argument("--backend", choices=["cpu", "tpu"], default=None)
+    f.add_argument("--out", default="fitted.png",
+                   help="render of the fitted scene")
+    f.add_argument("--checkpoint", help="orbax checkpoint dir to save "
+                   "(and resume from, if it exists)")
     return ap
 
 
@@ -77,6 +97,41 @@ def main(argv=None) -> int:
                 return 2
             args.golden = matches[0]
         sc = GOLDEN_SCENES[args.golden][0](scale=args.scale)
+
+    if args.cmd == "fit":
+        import os
+
+        import optax
+
+        from myraytracer_tpu.inverse import InverseRenderer
+        from myraytracer_tpu.utils.image import read_png
+
+        target = read_png(args.target)
+        cam = sc.camera
+        if target.shape[:2] != (cam.height, cam.width):
+            print(f"target is {target.shape[1]}x{target.shape[0]} but the "
+                  f"scene renders {cam.width}x{cam.height}", file=sys.stderr)
+            return 2
+        params = tuple(p for p in args.params.split(",") if p)
+        inv = InverseRenderer(sc.build(), param_names=params,
+                              optimizer=optax.adam(args.lr), camera=cam)
+        if args.checkpoint and os.path.isdir(args.checkpoint):
+            inv.restore_checkpoint(args.checkpoint)
+            print(f"resumed from {args.checkpoint} at step {inv.step_count}")
+        xs, ys = cam.pixel_grid()
+        t0 = time.time()
+        res = inv.fit_pixels(xs.ravel(), ys.ravel(),
+                             target.reshape(-1, 3), steps=args.steps,
+                             log_every=max(1, args.steps // 10))
+        dt = time.time() - t0
+        if args.checkpoint:
+            inv.save_checkpoint(args.checkpoint)
+        img = np.asarray(render(res.scene, res.camera or cam))
+        write_png(args.out, img)
+        print(f"fit {','.join(params)} for {args.steps} steps in {dt:.1f}s: "
+              f"loss {float(res.losses[0]):.6f} -> "
+              f"{float(res.losses[-1]):.6f} -> {args.out}")
+        return 0
 
     t0 = time.time()
     data = sc.build()

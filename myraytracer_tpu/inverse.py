@@ -119,7 +119,7 @@ class InverseRenderer:
         self.opt_state = self.optimizer.init(self.params)
         self.cfg = cfg
         self.step_count = 0
-        self._step_fn = self._build_step()
+        self._step_fns = {}
 
     def scene_with(self, params) -> object:
         return merge_params(self.base_scene, _scene_leaves(dict(params)))
@@ -130,12 +130,12 @@ class InverseRenderer:
             return None
         return camera_with(self.camera, self.params)
 
-    def _build_step(self):
+    def _build_step(self, pixel_mode: bool = False):
         cfg = self.cfg
         optimizer = self.optimizer
         base = self.base_scene
         camera = self.camera
-        use_cam = self._use_camera
+        use_cam = self._use_camera or pixel_mode
         # geometry optimization moves vertices past the build-time BVH /
         # cluster bounds — refit them from the CURRENT vertex_pos every
         # step so culling stays conservative (ops/refit.py)
@@ -201,7 +201,15 @@ class InverseRenderer:
 
         return step_sharded
 
-    def _run(self, a, b, target, steps, log_every) -> FitResult:
+    def _run(self, a, b, target, steps, log_every,
+             pixel_mode: bool = False) -> FitResult:
+        # the step program is built per input mode: pixel mode
+        # regenerates rays from the (possibly optimized) camera each
+        # step, ray mode consumes (o, d) directly. Cached so repeated
+        # fits reuse the compiled step.
+        if pixel_mode not in self._step_fns:
+            self._step_fns[pixel_mode] = self._build_step(pixel_mode)
+        self._step_fn = self._step_fns[pixel_mode]
         losses = []
         if self.mesh is not None:
             n_shards = self.mesh.devices.size
@@ -249,7 +257,7 @@ class InverseRenderer:
             raise ValueError("fit_pixels requires a camera")
         return self._run(jnp.asarray(xs, jnp.float32),
                          jnp.asarray(ys, jnp.float32), target, steps,
-                         log_every)
+                         log_every, pixel_mode=True)
 
     # --- checkpoint / resume (orbax) ---------------------------------------
     def save_checkpoint(self, path: str) -> None:
