@@ -218,7 +218,13 @@ def _loss_grad_tiled(scene, o, d, target, w, cfg, tile):
                                geom=geom)
             return jnp.sum(wt[:, None] * (c - tt) ** 2)
 
-        if _os.environ.get("MRT_REPLAY_CKPT", "1") == "1":
+        # with the fused custom-VJP shading (ops/shade_grad.py) the
+        # checkpoint is REDUNDANT: the op's residuals are its inputs
+        # (per-ray columns + the shared pack table), so nothing big gets
+        # saved — and checkpointing would re-run the forward kernel a
+        # second time in the backward (measured +8 ms/frame)
+        if (_os.environ.get("MRT_REPLAY_CKPT", "1") == "1"
+                and not cfg.resolved_fused_shade_grad(scene)):
             shade_loss = jax.checkpoint(shade_loss)
 
         def loss_fn(p):

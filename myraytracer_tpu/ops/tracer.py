@@ -75,6 +75,17 @@ class TraceConfig(NamedTuple):
     #: with lights on the cluster+Pallas path; silently ignored
     #: otherwise.
     fused_shade: bool = False
+    #: run the DIFFERENTIABLE shading replay (tracer.trace_shade) as a
+    #: fused custom-VJP segment per bounce with a hand-derived Pallas
+    #: backward (ops/shade_grad.py). Measured SLOWER than XLA AD on v5e
+    #: (office fwd+bwd 0.258 -> 0.265+ s): every kernel boundary
+    #: materializes ~30 per-ray columns (~19 ms/frame of lane relayout)
+    #: that AD's fused slices never pay — see PERF.md round-4
+    #: rejections. Kept OPT-IN (None = off unless MRT_FUSED_SHADE_GRAD=1)
+    #: with the VJP pinned against jax.vjp of the plain path in
+    #: tests/test_shade_grad.py, for hardware where the relayout
+    #: economics change.
+    fused_shade_grad: bool | None = None
 
     def resolved_method(self) -> str:
         if self.tri_method == "auto":
@@ -98,6 +109,21 @@ class TraceConfig(NamedTuple):
             and scene.mat_diffuse.shape[0] <= MAX_MATERIALS
             and self.resolved_method() == "cluster"
             and self.resolved_pallas()
+        )
+
+    def resolved_fused_shade_grad(self, scene) -> bool:
+        import os as _os
+
+        on = self.fused_shade_grad
+        if on is None:
+            on = (jax.default_backend() == "tpu"
+                  and _os.environ.get("MRT_FUSED_SHADE_GRAD", "0") == "1")
+        return bool(
+            on
+            and scene.n_tris
+            and not (scene.n_spheres or scene.n_planes or scene.n_cylinders)
+            and not scene.has_textures
+            and scene.n_lights >= 1
         )
 
 
@@ -705,6 +731,41 @@ def trace_shade(
     """
     if geom is None:
         geom = shade.pack_shade_geom(scene)
+
+    if cfg.resolved_fused_shade_grad(scene):
+        from myraytracer_tpu.ops import shade_grad as sg
+
+        impl = "pallas" if jax.default_backend() == "tpu" else "interpret"
+
+        def segment_fused(args):
+            carry, x = args
+            kind, idx, h, miss, is_shadow = x
+            ti = jnp.clip(jnp.maximum(idx, 0), 0, scene.n_tris - 1)
+            lit = jnp.logical_not(is_shadow).astype(carry.o.dtype)
+            # the row gather lives INSIDE the op (residuals = the shared
+            # table + the tiny index column, never per-tile row copies)
+            add, o2, d2, w2 = sg.shade_segment(
+                impl, carry.o, carry.d, carry.weight, geom.tri_pack,
+                ti.astype(carry.o.dtype),
+                scene.light_pos, scene.light_color, scene.ambience,
+                scene.background,
+                (kind == shade.KIND_TRI).astype(carry.o.dtype),
+                h.astype(carry.o.dtype), miss.astype(carry.o.dtype),
+                lit)
+            return _Bounce(o=o2, d=d2, weight=w2,
+                           color=carry.color + add)
+
+        def body_fused(carry: _Bounce, x):
+            kind, idx, h, miss, is_shadow = x
+            nxt = jax.lax.cond(jnp.any(h | miss), segment_fused,
+                               lambda a: a[0], (carry, x))
+            return nxt, None
+
+        R = o.shape[0]
+        init = _Bounce(o=o, d=d, weight=jnp.ones((R,), o.dtype),
+                       color=jnp.zeros((R, 3), o.dtype))
+        out, _ = jax.lax.scan(body_fused, init, topo)
+        return out.color
 
     def segment(args):
         carry, x = args
