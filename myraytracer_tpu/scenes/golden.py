@@ -255,7 +255,9 @@ def scene_03_mirror(scale: float = 1.0) -> Scene:
         specular=(0.5, 0.5, 0.5), shininess=60))
     # two facing mirror walls perpendicular to x: the camera looks down the
     # corridor, so reflections repeat the sphere in a receding row
-    wall = Material(ambient=(0.02, 0.02, 0.02), diffuse=(0.05, 0.05, 0.05),
+    # faint wall diffuse: the golden's 'black' upper half reads ~0.03-0.06
+    # gray (mirror-bounced floor light), not true black (round-4 cell fit)
+    wall = Material(ambient=(0.05, 0.05, 0.05), diffuse=(0.08, 0.08, 0.08),
                     specular=(0, 0, 0), shininess=1, mirror=0.85, shadowable=False)
     s.add_plane((2.4, 0, 0), (-1, 0, 0), wall)
     s.add_plane((-2.4, 0, 0), (1, 0, 0), wall)
@@ -269,7 +271,7 @@ def scene_03_mirror(scale: float = 1.0) -> Scene:
     # fading toward the horizon (no distance attenuation in this Phong
     # model, so the radial gradient must come from the broad lobe)
     s.add_mesh(TriangleMesh(verts, faces, material=Material(
-        ambient=(0.15, 0.15, 0.15), diffuse=(0.28, 0.28, 0.28),
+        ambient=(0.2, 0.2, 0.2), diffuse=(0.32, 0.32, 0.32),
         specular=(0.55, 0.55, 0.55), shininess=2),
         draw_mode=FLAT))
     s.max_depth = 20
