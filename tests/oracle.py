@@ -237,6 +237,30 @@ class OracleRenderer:
         ts = self.candidate_ts(eye, d)
         return len(ts) >= 2 and ts[1] <= ts[0] * (1.0 + rel)
 
+    def is_ill_conditioned_pixel(self, x, y, delta, eps=0.25):
+        """True when the observed fp32-vs-fp64 color ``delta`` is within
+        the color variation of a quarter-pixel neighborhood — i.e. the
+        pixel's color is ILL-CONDITIONED at ``delta`` scale.
+
+        The primary-ray tie certificate above only covers closest-hit
+        ambiguity on the FIRST segment; fp32-vs-fp64 divergence also
+        happens where shadow or mirror rays graze a silhouette (the
+        occlusion bit or bounce hit flips — the documented caveat of the
+        fixed-hit-topology design, SURVEY.md §7) and in steep smooth
+        gradients where fp32's ~1e-7 relative arithmetic amplifies
+        through the Whitted chain. Both cases show up as the oracle's
+        OWN color moving by >= delta under a sub-pixel ray jitter:
+        discontinuities jump by far more, steep gradients by a
+        proportional amount. Flat interior pixels (where the jittered
+        color barely moves) remain strictly checked.
+        """
+        base = self.trace(*self._ray(x, y))
+        for dx, dy in ((eps, 0), (-eps, 0), (0, eps), (0, -eps)):
+            c = self.trace(*self._ray(x + dx, y + dy))
+            if float(np.abs(c - base).max()) >= delta:
+                return True
+        return False
+
     def _resolve(self, o, d, t, kind, idx):
         point = o + t * d
         if kind == "sphere":
