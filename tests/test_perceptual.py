@@ -35,7 +35,7 @@ SCALE = 0.25
 #: future intentional scene edits)
 THRESHOLDS = {
     "o_01_spheres": (0.072, 0.178),   # measured 0.0517 / 0.1282 (round-4 rebuild)
-    "o_02_shadow": (0.055, 0.230),    # measured 0.0343 / 0.1800
+    "o_02_shadow": (0.043, 0.115),    # measured 0.0224 / 0.0644 (round-4 rebuild)
     "o_03_mirror": (0.055, 0.180),    # measured 0.0341 / 0.1298 (round-4 rebuild)
     "o_04_molecule": (0.054, 0.176),  # measured 0.0337 / 0.1254 (round-4 rebuild)
     "o_05_cube": (0.039, 0.201),      # measured 0.0185 / 0.1507
