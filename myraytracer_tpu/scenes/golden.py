@@ -493,7 +493,10 @@ def scene_06_mask(scale: float = 1.0) -> Scene:
     s = Scene()
     s.set_camera(eye=(0.25, 0.35, 4.3), center=(0, 0, 0), up=(0, 1, 0),
                  fovy=42, width=int(500 * scale), height=int(500 * scale))
-    s.add_light((3.5, 0.8, 4.0), (0.85, 0.78, 0.72))
+    # key raised/strengthened by the round-4 cell fit (the golden's
+    # highlight pools on the forehead, not the cheek): mean 0.0265 ->
+    # 0.0252, max cell 0.215 -> 0.177
+    s.add_light((4.0, 2.0, 3.8), (0.9, 0.826, 0.762))
     s.add_light((-4, 1, 2), (0.22, 0.19, 0.17))
     s.add_light((0.5, -2.5, 5), (0.14, 0.11, 0.09))   # fill from below
     s.ambience = (0.12, 0.1, 0.09)
@@ -508,7 +511,7 @@ def scene_06_mask(scale: float = 1.0) -> Scene:
     v = shapes.transformed(v, rotate_y=-0.32, translate=(0.0, -0.15, 0))
     s.add_mesh(TriangleMesh(v, f, material=Material(
         ambient=(0.5, 0.3, 0.22), diffuse=(0.78, 0.50, 0.38),
-        specular=(0.45, 0.38, 0.34), shininess=14), draw_mode=PHONG))
+        specular=(0.55, 0.464, 0.416), shininess=14), draw_mode=PHONG))
     s.max_depth = 1
     return s
 
