@@ -34,9 +34,26 @@ import numpy as np
 
 from myraytracer_tpu.ops import intersect as isx
 from myraytracer_tpu.ops.traverse import TriHit
+from myraytracer_tpu.utils import knobs
 
 #: triangles per cluster (dense batch width; multiple of 128 lanes)
 CLUSTER_M = 128
+
+
+def _kappa_rel() -> float:
+    """DP-cut per-cluster penalty as a fraction of the root-box SA.
+
+    "auto" (default) = 0.0002, the measured knee of the office sweep —
+    the valley is flat below 0.001 (PERF.md round 4), so the same
+    relative value transfers across scene scales (it is already
+    normalized by the root surface area).
+    """
+    import os as _o
+
+    raw = _o.environ.get("MRT_CLUSTER_KAPPA", "auto")
+    if raw == "auto":
+        return 2e-4
+    return knobs.env_float("MRT_CLUSTER_KAPPA", 2e-4, lo=1e-8, hi=1.0)
 
 
 def _dp_cut(tri_bbmin: np.ndarray, tri_bbmax: np.ndarray, m: int):
@@ -88,7 +105,7 @@ def _dp_cut(tri_bbmin: np.ndarray, tri_bbmax: np.ndarray, m: int):
     # smaller than the calibration estimate because the fused kernel
     # amortizes it across subgroups.
     root_sa = float(_sa(tri_bbmin.min(0)[None], tri_bbmax.max(0)[None])[0])
-    krel = float(_os.environ.get("MRT_CLUSTER_KAPPA", "0.0002"))
+    krel = _kappa_rel()
     eps = np.float32(max(krel * root_sa, 1e-12))
     # cost[i] = best total SA of a valid partition of tris [0, i)
     cost = np.full(T + 1, INF, np.float32)
@@ -131,7 +148,7 @@ def build_clusters(bvh, leaf_order_tris: int, m: int = CLUSTER_M,
     model — instead of respecting subtree boundaries. Set
     MRT_CLUSTER_CUT=subtree to force the round-1 subtree cut.
     """
-    mode = _os.environ.get("MRT_CLUSTER_CUT", "dp")
+    mode = knobs.env_choice("MRT_CLUSTER_CUT", "dp", ("dp", "subtree"))
     if tri_bounds is not None and mode == "dp":
         return _dp_cut(np.asarray(tri_bounds[0], np.float32),
                        np.asarray(tri_bounds[1], np.float32), m)
@@ -175,7 +192,7 @@ def build_clusters(bvh, leaf_order_tris: int, m: int = CLUSTER_M,
     # isn't much looser than the parts (a loose union would cost more
     # false subgroup touches than the reclaimed lanes save). lam is the
     # allowed SA(union)/(SA(a)+SA(b)) ratio; 0 disables.
-    lam = float(_os.environ.get("MRT_CLUSTER_MERGE_SA", "0.75"))
+    lam = knobs.env_float("MRT_CLUSTER_MERGE_SA", 0.75, lo=0.0, hi=10.0)
 
     def _sa(bmin, bmax):
         e = np.maximum(bmax - bmin, 0.0)
@@ -289,16 +306,14 @@ def _cluster_solve_mxu(F, Wk, M):
     return jnp.where(valid, t, isx.INF)
 
 
-import os as _os
-
 #: clusters tested per while-loop iteration (amortizes the ~25us TPU
 #: while-iteration overhead over more dense work)
-GROUP = int(_os.environ.get("MRT_CLUSTER_GROUP", "2"))
+GROUP = knobs.env_int("MRT_CLUSTER_GROUP", 2, lo=1, hi=64)
 
 #: entry budget for materializing the [R, K] phase-1 mask; larger scenes
 #: switch to the chunked/recompute path
-STORE_LIMIT = int(_os.environ.get("MRT_CLUSTER_STORE_LIMIT",
-                                  str(32 * 1024 * 1024)))
+STORE_LIMIT = knobs.env_int("MRT_CLUSTER_STORE_LIMIT", 32 * 1024 * 1024,
+                            lo=1)
 
 
 class _State(NamedTuple):

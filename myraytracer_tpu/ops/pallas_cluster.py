@@ -55,7 +55,11 @@ except Exception:  # pragma: no cover
 #: so bigger tiles amortize it across more subgroups; env-tunable.
 import os as _os
 
-RAY_TILE = int(_os.environ.get("MRT_RAY_TILE", "1024"))
+from myraytracer_tpu.utils import knobs
+
+#: Mosaic needs 1024-aligned 1-D blocks (512 measured as a compile
+#: error, PERF.md round-3 sweep)
+RAY_TILE = knobs.env_int("MRT_RAY_TILE", 1024, lo=1024, multiple_of=1024)
 
 #: compaction subgroup: each SUB-ray subgroup of a block gets its OWN
 #: touched-cluster list, so the union amplification of a whole 64x64
@@ -65,8 +69,8 @@ RAY_TILE = int(_os.environ.get("MRT_RAY_TILE", "1024"))
 #: is what makes small subgroups affordable here when they are not in
 #: the XLA scan path. Swept 256/512/1024 -> 0.500/0.490/0.523 s (office
 #: fwd, round 2); env-tunable for re-sweeps as other costs move.
-SUB = int(_os.environ.get("MRT_SUB", "512"))
-if not (0 < SUB <= RAY_TILE and RAY_TILE % SUB == 0):
+SUB = knobs.env_int("MRT_SUB", 512, lo=1, hi=RAY_TILE)
+if RAY_TILE % SUB != 0:
     raise ValueError(
         f"MRT_SUB={SUB} must divide RAY_TILE={RAY_TILE}: out-of-range values"
         " would silently run zero subgroups (every ray a miss)")
@@ -515,10 +519,8 @@ def intersect_clusters_pallas(
     cl_bbmin = jax.lax.stop_gradient(scene.cl_bbmin)
     cl_bbmax = jax.lax.stop_gradient(scene.cl_bbmax)
 
-    group = int(_os.environ.get("MRT_GROUP", "1"))
-    if group < 1:
-        raise ValueError(f"MRT_GROUP={group} must be >= 1: zero/negative"
-                         " groups would never DMA a cluster (kernel hang)")
+    # group < 1 would never DMA a cluster (kernel hang); validated
+    group = knobs.env_int("MRT_GROUP", 1, lo=1, hi=16)
     # lb is read unguarded at column g+group inside the kernel, so pad
     # at least group+1 columns (2 keeps the group=1 layout unchanged)
     padk = max(2, group + 1)
@@ -529,7 +531,7 @@ def intersect_clusters_pallas(
     # (measured: K=601 with a 131072-ray batch asks for 2 x 640 KB and
     # fails to compile), so the batch is split into chunks whose tables
     # fit; results concatenate exactly (each ray is independent).
-    smem_budget = int(_os.environ.get("MRT_SMEM_TABLE_BUDGET", "600000"))
+    smem_budget = knobs.env_int("MRT_SMEM_TABLE_BUDGET", 600000, lo=4096)
     Kc = cl_bbmin.shape[0]
     max_sub = max(RAY_TILE // SUB, smem_budget // (8 * (Kc + padk)))
     r_chunk = max(RAY_TILE, (max_sub * SUB // RAY_TILE) * RAY_TILE)
@@ -572,9 +574,10 @@ def intersect_clusters_pallas(
     # "hull"/"exact"/"frustum" force a specific variant ("frustum"
     # measured SLOWER for closest-hit: 0.515 vs 0.466 s — looser lists
     # cost more kernel iterations than the cheaper test saves).
-    mode = _os.environ.get("MRT_PHASE1", "auto")
+    mode = knobs.env_choice("MRT_PHASE1", "auto",
+                            ("auto", "hull", "exact", "frustum"))
     kernel_ok = (not interpret
-                 and _os.environ.get("MRT_PHASE1_KERNEL", "1") == "1")
+                 and knobs.env_bool01("MRT_PHASE1_KERNEL", True))
     use_hull = (any_hit and t_max is not None
                 and (mode == "hull" or (mode == "auto" and not kernel_ok)))
     if mode == "frustum" or use_hull:
@@ -664,7 +667,7 @@ def intersect_clusters_pallas(
 
     kernel = functools.partial(
         _kernel, M=M, any_hit=any_hit, subs=subs,
-        early_exit=_os.environ.get("MRT_PALLAS_EARLY_EXIT", "1") == "1",
+        early_exit=knobs.env_bool01("MRT_PALLAS_EARLY_EXIT", True),
         group=group)
     t_hit, idx = pl.pallas_call(
         kernel,

@@ -29,6 +29,7 @@ import jax.numpy as jnp
 
 from myraytracer_tpu.models.camera import Camera
 from myraytracer_tpu.ops import shade
+from myraytracer_tpu.utils import knobs
 from myraytracer_tpu.ops import tracer as tr
 
 #: reference supersampling constants (mytracer_gpu.cu:83-84)
@@ -39,7 +40,7 @@ AA_THRESHOLD = 0.02
 #: the office 1080p fwd (v5e, per-subgroup compaction): 4096 -> 0.511 s,
 #: 16384 -> 0.478 s, 65536 -> 0.525 s; >=262144 exceeds the 1 MB SMEM
 #: budget for the kernel's scalar-prefetch order/lb tables.
-TILE = int(_os.environ.get("MRT_TILE", str(1 << 14)))
+TILE = knobs.env_int("MRT_TILE", 1 << 14, lo=1024)
 
 
 def _fit_tile(R: int, tile: int, quantum: int) -> int:
@@ -98,14 +99,14 @@ def _trace_tiled(scene, o, d, cfg: tr.TraceConfig, tile: int,
 #: (32/64/128 -> 0.320/0.343/0.422 s fwd, 0.512/0.523/0.608 fwd+bwd):
 #: a SUB=512 subgroup of a 32-wide block is a squarer 16x32 footprint
 #: with tighter touched-cluster unions
-BLOCK = int(_os.environ.get("MRT_BLOCK", "32"))
+BLOCK = knobs.env_int("MRT_BLOCK", 32, lo=8, power_of_two=True)
 
 #: rays per loss/grad remat tile (whole screen blocks). Round-4 re-sweep
 #: on the office 1080p fwd+bwd with the fused-topology pass (v5e):
 #: 15360 -> 0.296 s, 23040 -> 0.291 s, 30720 -> 0.298 s, 46080 -> 0.307 s
 #: — ~23k rays balance per-tile fixed costs (dense [T,48] cotangent
 #: carry adds, scatter launches) against remat working-set growth.
-LOSS_TILE = int(_os.environ.get("MRT_LOSS_TILE", str(23040)))
+LOSS_TILE = knobs.env_int("MRT_LOSS_TILE", 23040, lo=1024)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "tile", "clamp"))
@@ -160,7 +161,7 @@ def render(
 #: two-phase backward (topology pass + checkpointed shading replay) —
 #: the backward never re-runs traversal/occlusion scans; set
 #: MRT_TWO_PHASE=0 to fall back to full-remat of the whole trace
-TWO_PHASE = _os.environ.get("MRT_TWO_PHASE", "1") == "1"
+TWO_PHASE = knobs.env_bool01("MRT_TWO_PHASE", True)
 
 
 def _loss_grad_tiled(scene, o, d, target, w, cfg, tile):
@@ -223,7 +224,7 @@ def _loss_grad_tiled(scene, o, d, target, w, cfg, tile):
         # (per-ray columns + the shared pack table), so nothing big gets
         # saved — and checkpointing would re-run the forward kernel a
         # second time in the backward (measured +8 ms/frame)
-        if (_os.environ.get("MRT_REPLAY_CKPT", "1") == "1"
+        if (knobs.env_bool01("MRT_REPLAY_CKPT", True)
                 and not cfg.resolved_fused_shade_grad(scene)):
             shade_loss = jax.checkpoint(shade_loss)
 

@@ -37,6 +37,7 @@ import jax.numpy as jnp
 from myraytracer_tpu.ops import intersect as isx
 from myraytracer_tpu.ops import shade
 from myraytracer_tpu.ops import traverse
+from myraytracer_tpu.utils import knobs
 from myraytracer_tpu.utils import vecmath as vm
 
 
@@ -117,7 +118,7 @@ class TraceConfig(NamedTuple):
         on = self.fused_shade_grad
         if on is None:
             on = (jax.default_backend() == "tpu"
-                  and _os.environ.get("MRT_FUSED_SHADE_GRAD", "0") == "1")
+                  and knobs.env_bool01("MRT_FUSED_SHADE_GRAD", False))
         return bool(
             on
             and scene.n_tris
@@ -300,7 +301,8 @@ def occluded_batched(
     # interleaves all L lights of a half-size pixel footprint into one
     # subgroup, sharing the cluster DMAs between lights whose occluder
     # sets overlap (A/B knob; see PERF.md round-3 sweep)
-    ray_major = _os.environ.get("MRT_SHADOW_ORDER", "light") == "ray"
+    ray_major = knobs.env_choice("MRT_SHADOW_ORDER", "light",
+                             ("light", "ray")) == "ray"
 
     def flat(a):
         if ray_major:

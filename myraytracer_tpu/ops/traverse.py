@@ -43,13 +43,14 @@ import jax
 import jax.numpy as jnp
 
 from myraytracer_tpu.ops import intersect as isx
+from myraytracer_tpu.utils import knobs
 
 import os
 
 #: traversal steps unrolled per while-loop iteration (env-tunable for
 #: perf experiments; each unroll amortizes the lockstep convergence check
 #: at the cost of compile time and stragglers)
-STEPS_INNER = int(os.environ.get("MRT_STEPS_INNER", "4"))
+STEPS_INNER = knobs.env_int("MRT_STEPS_INNER", 4, lo=1, hi=64)
 
 
 class TriHit(NamedTuple):
