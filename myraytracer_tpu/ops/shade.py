@@ -82,13 +82,23 @@ class ShadeGeom(NamedTuple):
 
     Layout of ``tri_pack`` (f32):
       [:, 0:16]   p0 p1 p2 (9) | u0 u1 u2 v0 v1 v2 (6) | pad
-      [:, 16:32]  n0 n1 n2 (9) | phong flag (1) | pad
+      [:, 16:32]  n0 n1 n2 (9) | phong flag (1) | mat id (1) |
+                  tex W, H, offset as floats (3, cols 27-29) | pad
       [:, 32:48]  (tri-only scenes) the triangle's mat16 row
+
+    ``ana16`` packs the analytic primitives (spheres, then planes, then
+    cylinders) into one row table for the fused Pallas shading tier
+    (ops/pallas_shade.py), which resolves every hit kind in-kernel the
+    way the reference's single GPU kernel does (trace_device,
+    mytracer_gpu.cu:237-312). Layout per row: center (0-2) | aux vector
+    (3-5: plane normal / cylinder axis) | radius (6) | height (7) |
+    mat id (8) | pad.
     """
 
     tri_pack: jnp.ndarray  # [T, 32] or [T, 48] — see layout above
     tri_int: jnp.ndarray   # [T, 4] int32: mat id, tex W, tex H, tex offset
     mat16: jnp.ndarray     # [NM, 16] diffuse3 ambient3 specular3 shin mirror shadowable | pad
+    ana16: jnp.ndarray     # [A, 16] analytic primitive rows — see layout above
 
 
 def _tri_only(scene) -> bool:
@@ -130,9 +140,14 @@ def pack_shade_geom(scene) -> ShadeGeom:
         # (measured 14.8 ms/frame on the office forward). Exact for
         # ids < 2^24.
         mat_f = scene.tri_mat.astype(jnp.float32)[:, None]
+        # cols 27-29: the texture record (W, H, offset) as floats so the
+        # fused Pallas pre kernel computes the nearest-texel atlas index
+        # from the SAME row gather (exact for values < 2^24; the fused
+        # gate checks the atlas size)
+        tex_f = scene.tri_tex.astype(jnp.float32)
         parts = [pos9, uv6, 0.0 * z1,                       # [:, 0:16]
-                 nrm9, flag, mat_f,
-                 jnp.zeros((nrm9.shape[0], 5), jnp.float32)]
+                 nrm9, flag, mat_f, tex_f,
+                 jnp.zeros((nrm9.shape[0], 2), jnp.float32)]
         if _tri_only(scene):
             parts.append(mat16[scene.tri_mat])              # [:, 32:48]
         tri_pack = jnp.concatenate(parts, axis=1)
@@ -141,7 +156,32 @@ def pack_shade_geom(scene) -> ShadeGeom:
     else:
         tri_pack = jnp.zeros((1, 32), jnp.float32)
         tri_int = jnp.zeros((1, 4), jnp.int32)
-    return ShadeGeom(tri_pack=tri_pack, tri_int=tri_int, mat16=mat16)
+    ana_rows = []
+    if scene.n_spheres:
+        S = scene.n_spheres
+        ana_rows.append(jnp.concatenate([
+            scene.sphere_center, jnp.zeros((S, 3), jnp.float32),
+            scene.sphere_radius[:, None], jnp.zeros((S, 1), jnp.float32),
+            scene.sphere_mat.astype(jnp.float32)[:, None],
+            jnp.zeros((S, 7), jnp.float32)], axis=1))
+    if scene.n_planes:
+        P = scene.n_planes
+        ana_rows.append(jnp.concatenate([
+            scene.plane_center, scene.plane_normal,
+            jnp.zeros((P, 2), jnp.float32),
+            scene.plane_mat.astype(jnp.float32)[:, None],
+            jnp.zeros((P, 7), jnp.float32)], axis=1))
+    if scene.n_cylinders:
+        C = scene.n_cylinders
+        ana_rows.append(jnp.concatenate([
+            scene.cyl_center, scene.cyl_axis,
+            scene.cyl_radius[:, None], scene.cyl_height[:, None],
+            scene.cyl_mat.astype(jnp.float32)[:, None],
+            jnp.zeros((C, 7), jnp.float32)], axis=1))
+    ana16 = (jnp.concatenate(ana_rows, axis=0) if ana_rows
+             else jnp.zeros((1, 16), jnp.float32))
+    return ShadeGeom(tri_pack=tri_pack, tri_int=tri_int, mat16=mat16,
+                     ana16=ana16)
 
 
 def resolve_hit(scene, o, d, kind, idx, texture_filter: str = "nearest",

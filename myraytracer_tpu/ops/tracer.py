@@ -72,9 +72,10 @@ class TraceConfig(NamedTuple):
     #: kernels per segment (ops/pallas_shade.py). The kernels have NO
     #: VJP, so this must stay False anywhere trace() is differentiated;
     #: the forward drivers (ops/render.render, _aa_refine, the sharded
-    #: forward) opt in. Applies only to untextured triangle-only scenes
-    #: with lights on the cluster+Pallas path; silently ignored
-    #: otherwise.
+    #: forward) opt in. Covers every primitive kind and textures (the
+    #: reference's single-kernel scope, mytracer_gpu.cu:237-312) for
+    #: scenes with lights on the Pallas path; silently ignored
+    #: otherwise (e.g. >MAX_MATERIALS materials, no lights).
     fused_shade: bool = False
     #: run the DIFFERENTIABLE shading replay (tracer.trace_shade) as a
     #: fused custom-VJP segment per bounce with a hand-derived Pallas
@@ -101,14 +102,22 @@ class TraceConfig(NamedTuple):
     def resolved_fused_shade(self, scene) -> bool:
         from myraytracer_tpu.ops.pallas_shade import MAX_MATERIALS
 
+        n_prims = (scene.n_tris + scene.n_spheres + scene.n_planes
+                   + scene.n_cylinders)
+        # the in-kernel atlas index arithmetic runs on f32 integers:
+        # exact only while every index fits the 24-bit mantissa
+        tex_ok = (not scene.has_textures
+                  or scene.texels.shape[0] < (1 << 24))
+        # triangles must ride the cluster megakernel; tri-less analytic
+        # scenes have no traversal kernel to gate on
+        tri_ok = (not scene.n_tris) or self.resolved_method() == "cluster"
         return bool(
             self.fused_shade
-            and scene.n_tris
-            and not (scene.n_spheres or scene.n_planes or scene.n_cylinders)
-            and not scene.has_textures
+            and n_prims > 0
             and scene.n_lights >= 1
             and scene.mat_diffuse.shape[0] <= MAX_MATERIALS
-            and self.resolved_method() == "cluster"
+            and tex_ok
+            and tri_ok
             and self.resolved_pallas()
         )
 
@@ -174,6 +183,75 @@ def _closest_tris(scene, o, d, active, cfg, tri_flat, cl_tris,
     return traverse.intersect_tris_brute(scene, o, d, t_max=t_max)
 
 
+def _closest_analytic(
+    scene, o: jnp.ndarray, d: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Closest analytic (sphere/plane/cylinder) hit for a ray batch.
+
+    Returns (kind [R] int32, idx [R] per-kind index, aidx [R] global row
+    index into ShadeGeom.ana16, t [R]); kind = KIND_MISS / t = INF where
+    no analytic primitive is hit. Evaluation order (sphere, plane,
+    cylinder, strict <) matches the sequential merge the reference's
+    ``intersect_scene`` performs over its object list so exact-tie
+    resolution is identical across the XLA and fused paths.
+    """
+    R = o.shape[0]
+    o_ng = jax.lax.stop_gradient(o)
+    d_ng = jax.lax.stop_gradient(d)
+    best_t = jnp.full((R,), isx.INF)
+    kind = jnp.zeros((R,), jnp.int32)
+    idx = jnp.zeros((R,), jnp.int32)
+    aidx = jnp.zeros((R,), jnp.int32)
+    a_off = 0
+
+    if scene.n_spheres:
+        t_all = isx.ray_sphere(
+            o_ng[:, None, :], d_ng[:, None, :],
+            jax.lax.stop_gradient(scene.sphere_center)[None],
+            jax.lax.stop_gradient(scene.sphere_radius)[None],
+        )  # [R, S]
+        i_s = jnp.argmin(t_all, axis=1)
+        t_s = jnp.take_along_axis(t_all, i_s[:, None], axis=1)[:, 0]
+        better = t_s < best_t
+        best_t = jnp.where(better, t_s, best_t)
+        kind = jnp.where(better, shade.KIND_SPHERE, kind)
+        idx = jnp.where(better, i_s.astype(jnp.int32), idx)
+        aidx = jnp.where(better, i_s.astype(jnp.int32) + a_off, aidx)
+        a_off += scene.n_spheres
+
+    if scene.n_planes:
+        t_all = isx.ray_plane(
+            o_ng[:, None, :], d_ng[:, None, :],
+            jax.lax.stop_gradient(scene.plane_center)[None],
+            jax.lax.stop_gradient(scene.plane_normal)[None],
+        )
+        i_p = jnp.argmin(t_all, axis=1)
+        t_p = jnp.take_along_axis(t_all, i_p[:, None], axis=1)[:, 0]
+        better = t_p < best_t
+        best_t = jnp.where(better, t_p, best_t)
+        kind = jnp.where(better, shade.KIND_PLANE, kind)
+        idx = jnp.where(better, i_p.astype(jnp.int32), idx)
+        aidx = jnp.where(better, i_p.astype(jnp.int32) + a_off, aidx)
+        a_off += scene.n_planes
+
+    if scene.n_cylinders:
+        t_all = isx.ray_cylinder(
+            o_ng[:, None, :], d_ng[:, None, :],
+            jax.lax.stop_gradient(scene.cyl_center)[None],
+            jax.lax.stop_gradient(scene.cyl_axis)[None],
+            jax.lax.stop_gradient(scene.cyl_radius)[None],
+            jax.lax.stop_gradient(scene.cyl_height)[None],
+        )
+        i_c = jnp.argmin(t_all, axis=1)
+        t_c = jnp.take_along_axis(t_all, i_c[:, None], axis=1)[:, 0]
+        better = t_c < best_t
+        best_t = jnp.where(better, t_c, best_t)
+        kind = jnp.where(better, shade.KIND_CYL, kind)
+        idx = jnp.where(better, i_c.astype(jnp.int32), idx)
+        aidx = jnp.where(better, i_c.astype(jnp.int32) + a_off, aidx)
+    return kind, idx, aidx, best_t
+
+
 def intersect_scene(
     scene,
     o: jnp.ndarray,
@@ -192,50 +270,7 @@ def intersect_scene(
     o_ng = jax.lax.stop_gradient(o)
     d_ng = jax.lax.stop_gradient(d)
 
-    best_t = jnp.full((R,), isx.INF)
-    kind = jnp.zeros((R,), jnp.int32)
-    idx = jnp.zeros((R,), jnp.int32)
-
-    if scene.n_spheres:
-        t_all = isx.ray_sphere(
-            o_ng[:, None, :], d_ng[:, None, :],
-            jax.lax.stop_gradient(scene.sphere_center)[None],
-            jax.lax.stop_gradient(scene.sphere_radius)[None],
-        )  # [R, S]
-        i_s = jnp.argmin(t_all, axis=1)
-        t_s = jnp.take_along_axis(t_all, i_s[:, None], axis=1)[:, 0]
-        better = t_s < best_t
-        best_t = jnp.where(better, t_s, best_t)
-        kind = jnp.where(better, shade.KIND_SPHERE, kind)
-        idx = jnp.where(better, i_s.astype(jnp.int32), idx)
-
-    if scene.n_planes:
-        t_all = isx.ray_plane(
-            o_ng[:, None, :], d_ng[:, None, :],
-            jax.lax.stop_gradient(scene.plane_center)[None],
-            jax.lax.stop_gradient(scene.plane_normal)[None],
-        )
-        i_p = jnp.argmin(t_all, axis=1)
-        t_p = jnp.take_along_axis(t_all, i_p[:, None], axis=1)[:, 0]
-        better = t_p < best_t
-        best_t = jnp.where(better, t_p, best_t)
-        kind = jnp.where(better, shade.KIND_PLANE, kind)
-        idx = jnp.where(better, i_p.astype(jnp.int32), idx)
-
-    if scene.n_cylinders:
-        t_all = isx.ray_cylinder(
-            o_ng[:, None, :], d_ng[:, None, :],
-            jax.lax.stop_gradient(scene.cyl_center)[None],
-            jax.lax.stop_gradient(scene.cyl_axis)[None],
-            jax.lax.stop_gradient(scene.cyl_radius)[None],
-            jax.lax.stop_gradient(scene.cyl_height)[None],
-        )
-        i_c = jnp.argmin(t_all, axis=1)
-        t_c = jnp.take_along_axis(t_all, i_c[:, None], axis=1)[:, 0]
-        better = t_c < best_t
-        best_t = jnp.where(better, t_c, best_t)
-        kind = jnp.where(better, shade.KIND_CYL, kind)
-        idx = jnp.where(better, i_c.astype(jnp.int32), idx)
+    kind, idx, _, best_t = _closest_analytic(scene, o_ng, d_ng)
 
     if scene.n_tris:
         tri = _closest_tris(scene, o_ng, d_ng, active, cfg, tri_flat, cl_tris)
@@ -246,6 +281,41 @@ def intersect_scene(
     if active is not None:
         kind = jnp.where(active, kind, shade.KIND_MISS)
     return kind, idx
+
+
+def _analytic_occlusion(scene, of, df, distf) -> jnp.ndarray:
+    """Any analytic primitive occludes the segment o -> o + dist*d?
+
+    Flat [N] batch; each primitive kind is one dense [N, P] test
+    (isShadow iff any t < dist, reference semantics mytracer.cpp:
+    587-599). Returns [N] bool (all-False when the scene has no
+    analytic primitives).
+    """
+    shadowed = jnp.zeros(of.shape[0], bool)
+    if scene.n_spheres:
+        t_all = isx.ray_sphere(
+            of[:, None, :], df[:, None, :],
+            jax.lax.stop_gradient(scene.sphere_center)[None],
+            jax.lax.stop_gradient(scene.sphere_radius)[None],
+        )
+        shadowed |= jnp.any(t_all < distf[:, None], axis=1)
+    if scene.n_planes:
+        t_all = isx.ray_plane(
+            of[:, None, :], df[:, None, :],
+            jax.lax.stop_gradient(scene.plane_center)[None],
+            jax.lax.stop_gradient(scene.plane_normal)[None],
+        )
+        shadowed |= jnp.any(t_all < distf[:, None], axis=1)
+    if scene.n_cylinders:
+        t_all = isx.ray_cylinder(
+            of[:, None, :], df[:, None, :],
+            jax.lax.stop_gradient(scene.cyl_center)[None],
+            jax.lax.stop_gradient(scene.cyl_axis)[None],
+            jax.lax.stop_gradient(scene.cyl_radius)[None],
+            jax.lax.stop_gradient(scene.cyl_height)[None],
+        )
+        shadowed |= jnp.any(t_all < distf[:, None], axis=1)
+    return shadowed
 
 
 def occluded_batched(
@@ -322,29 +392,7 @@ def occluded_batched(
     shadowed = jnp.zeros((L * R,), bool)
     if per_light:
         shadowed |= flat(jnp.stack(shadowed_tri))
-    if scene.n_spheres:
-        t_all = isx.ray_sphere(
-            of[:, None, :], df[:, None, :],
-            jax.lax.stop_gradient(scene.sphere_center)[None],
-            jax.lax.stop_gradient(scene.sphere_radius)[None],
-        )
-        shadowed |= jnp.any(t_all < distf[:, None], axis=1)
-    if scene.n_planes:
-        t_all = isx.ray_plane(
-            of[:, None, :], df[:, None, :],
-            jax.lax.stop_gradient(scene.plane_center)[None],
-            jax.lax.stop_gradient(scene.plane_normal)[None],
-        )
-        shadowed |= jnp.any(t_all < distf[:, None], axis=1)
-    if scene.n_cylinders:
-        t_all = isx.ray_cylinder(
-            of[:, None, :], df[:, None, :],
-            jax.lax.stop_gradient(scene.cyl_center)[None],
-            jax.lax.stop_gradient(scene.cyl_axis)[None],
-            jax.lax.stop_gradient(scene.cyl_radius)[None],
-            jax.lax.stop_gradient(scene.cyl_height)[None],
-        )
-        shadowed |= jnp.any(t_all < distf[:, None], axis=1)
+    shadowed |= _analytic_occlusion(scene, of, df, distf)
     if scene.n_tris and not per_light:
         still = actf & ~shadowed
         tri = _closest_tris(scene, of, df, still, cfg, tri_flat, cl_tris,
@@ -453,6 +501,87 @@ class _Bounce(NamedTuple):
     color: jnp.ndarray
 
 
+def _fused_segment_step(scene, geom, cl_tris, interp, carry):
+    """One Whitted segment through the fused kernel pipeline, shared by
+    trace() and trace_topology(): closest-hit merge over every primitive
+    kind (triangles via the cluster megakernel, analytic kinds via the
+    dense XLA tests) -> row gathers (tri_pack / ana16 / texels — XLA's
+    gather engine) -> pre kernel (per-kind resolve + shadow setup) ->
+    any-hit megakernel + analytic occlusion -> phong kernel (lighting +
+    texture override + blend + bounce). Same math as the XLA
+    ``segment``, minus ~20 glue fusions; the reference shades every kind
+    and textures in one kernel the same way (mytracer_gpu.cu:237-312,
+    511-544).
+
+    Returns (next bounce [color untouched], color add [R,3],
+    (kind, idx, hit, miss, shadow) topology record).
+    """
+    from myraytracer_tpu.ops import pallas_shade as ps
+    from myraytracer_tpu.ops.pallas_cluster import intersect_clusters_pallas
+
+    R = carry.o.shape[0]
+    L = scene.n_lights
+    live = carry.weight > 0.0
+    o_ng = jax.lax.stop_gradient(carry.o)
+    d_ng = jax.lax.stop_gradient(carry.d)
+
+    has_ana = bool(scene.n_spheres or scene.n_planes or scene.n_cylinders)
+    # sequential merge in the SAME order as intersect_scene (analytic
+    # kinds first, triangles last with strict <) so exact ties resolve
+    # identically across the fused and XLA paths
+    kind, pidx, aidx, t = _closest_analytic(scene, o_ng, d_ng)
+    if scene.n_tris:
+        tri = intersect_clusters_pallas(
+            scene, o_ng, d_ng, active=live, cl_const=cl_tris,
+            interpret=interp)
+        better = tri.t < t
+        kind = jnp.where(better, shade.KIND_TRI, kind)
+        pidx = jnp.where(better, jnp.maximum(tri.idx, 0), pidx)
+        t = jnp.where(better, tri.t, t)
+    kind = jnp.where(live, kind, shade.KIND_MISS)
+    valid = kind != shade.KIND_MISS
+
+    rows48 = None
+    if scene.n_tris:
+        gather_i = jnp.where(kind == shade.KIND_TRI, pidx, 0)
+        rows48 = geom.tri_pack[gather_i]
+    ana_rows = None
+    if has_ana:
+        ana_rows = geom.ana16[jnp.where(valid, aidx, 0)]
+    want_tex = bool(scene.has_textures) and scene.n_tris > 0
+
+    point, normal, mid, texid, so, sd, st, sact = ps.shade_pre(
+        carry.o, carry.d, t, kind, live, rows48, ana_rows, geom.mat16,
+        scene.light_pos, want_tex=want_tex,
+        atlas_size=scene.texels.shape[0], interpret=interp)
+
+    sactb = sact > 0
+    shadow = jnp.zeros((L, R), bool)
+    if scene.n_tris:
+        occ = intersect_clusters_pallas(
+            scene, so, sd, t_max=st, any_hit=True, active=sactb,
+            cl_const=cl_tris, interpret=interp)
+        shadow = (occ.idx >= 0).reshape(L, R)
+    if has_ana:
+        ana_sh = _analytic_occlusion(scene, so[:, :3], sd[:, :3], st)
+        shadow = shadow | (ana_sh & sactb).reshape(L, R)
+
+    texel = textured = None
+    if want_tex:
+        texel = scene.texels[jnp.maximum(texid, 0)]
+        textured = texid >= 0
+
+    add, o2, d2, w2 = ps.shade_phong(
+        carry.o, carry.d, carry.weight, valid, live, mid, point, normal,
+        shadow, geom.mat16, scene.light_pos, scene.light_color,
+        scene.ambience, scene.background, texel=texel, textured=textured,
+        interpret=interp)
+    h = live & valid
+    miss = live & ~valid
+    nxt = _Bounce(o=o2, d=d2, weight=w2, color=carry.color)
+    return nxt, add, (kind, pidx, h, miss, shadow)
+
+
 def trace(
     scene,
     o: jnp.ndarray,
@@ -479,38 +608,12 @@ def trace(
         geom = shade.pack_shade_geom(scene)
 
     if cfg.resolved_fused_shade(scene):
-        from myraytracer_tpu.ops import pallas_shade as ps
-        from myraytracer_tpu.ops.pallas_cluster import (
-            intersect_clusters_pallas)
-
         interp = jax.default_backend() != "tpu"
 
         def segment_fused(carry: _Bounce) -> _Bounce:
-            """One Whitted segment through the fused kernel pipeline:
-            traversal megakernel -> ONE rows48 gather (+ a 1-D mat-id
-            gather) -> pre kernel (resolve + shadow setup) -> any-hit
-            megakernel -> phong kernel (lighting + blend + bounce). Same
-            math as :func:`segment` below, minus ~20 XLA glue fusions."""
-            live = carry.weight > 0.0
-            tri = intersect_clusters_pallas(
-                scene, jax.lax.stop_gradient(carry.o),
-                jax.lax.stop_gradient(carry.d), active=live,
-                cl_const=cl_tris, interpret=interp)
-            valid = tri.idx >= 0
-            rows48 = geom.tri_pack[jnp.maximum(tri.idx, 0)]
-            point, normal, mat_id, so, sd, st, sact = ps.shade_pre(
-                carry.o, carry.d, tri.t, valid, live, rows48,
-                geom.mat16, scene.light_pos, interpret=interp)
-            occ = intersect_clusters_pallas(
-                scene, so, sd, t_max=st, any_hit=True, active=sact > 0,
-                cl_const=cl_tris, interpret=interp)
-            shadow = (occ.idx >= 0).reshape(scene.n_lights, R)
-            add, o2, d2, w2 = ps.shade_phong(
-                carry.o, carry.d, carry.weight, valid, live, mat_id,
-                point, normal, shadow, geom.mat16, scene.light_pos,
-                scene.light_color, scene.ambience, scene.background,
-                interpret=interp)
-            return _Bounce(o=o2, d=d2, weight=w2, color=carry.color + add)
+            nxt, add, _ = _fused_segment_step(scene, geom, cl_tris,
+                                              interp, carry)
+            return nxt._replace(color=carry.color + add)
 
         def body_fused(carry: _Bounce, _):
             nxt = jax.lax.cond(
@@ -607,39 +710,14 @@ def trace_topology(
         # same discrete outputs while skipping the XLA resolve/shadow
         # glue. The phong kernel runs anyway to produce the next-ray
         # bounce state; its color output is simply not recorded.
-        from myraytracer_tpu.ops import pallas_shade as ps
-        from myraytracer_tpu.ops.pallas_cluster import (
-            intersect_clusters_pallas)
-
+        # (Misses record idx 0, matching the XLA topology bit-for-bit —
+        # consumers gate on kind.)
         interp = jax.default_backend() != "tpu"
 
         def segment_fused(carry):
-            live = carry.weight > 0.0
-            tri = intersect_clusters_pallas(
-                scene, carry.o, carry.d, active=live, cl_const=cl_tris,
-                interpret=interp)
-            valid = tri.idx >= 0
-            rows48 = geom.tri_pack[jnp.maximum(tri.idx, 0)]
-            point, normal, mat_id, so, sd, st, sact = ps.shade_pre(
-                carry.o, carry.d, tri.t, valid, live, rows48,
-                geom.mat16, scene.light_pos, interpret=interp)
-            occ = intersect_clusters_pallas(
-                scene, so, sd, t_max=st, any_hit=True, active=sact > 0,
-                cl_const=cl_tris, interpret=interp)
-            shadow = (occ.idx >= 0).reshape(scene.n_lights, R)
-            _, o2, d2, w2 = ps.shade_phong(
-                carry.o, carry.d, carry.weight, valid, live, mat_id,
-                point, normal, shadow, geom.mat16, scene.light_pos,
-                scene.light_color, scene.ambience, scene.background,
-                interpret=interp)
-            h = live & valid
-            miss = live & ~valid
-            kind = jnp.where(valid, shade.KIND_TRI, shade.KIND_MISS)
-            nxt = _Bounce(o=o2, d=d2, weight=w2, color=carry.color)
-            # misses record idx 0 (not the kernel's -1 sentinel) to match
-            # the XLA topology bit-for-bit (consumers gate on kind)
-            return nxt, (kind.astype(jnp.int32), jnp.maximum(tri.idx, 0),
-                         h, miss, shadow)
+            nxt, _, rec = _fused_segment_step(scene, geom, cl_tris,
+                                              interp, carry)
+            return nxt, rec
 
         def body_fused(carry, _):
             def dead(c):

@@ -2,10 +2,14 @@
 
 ops/pallas_shade.py re-implements resolve_hit + shadow setup + Phong +
 the Whitted blend/bounce as two Pallas kernels (interpret mode here).
-These tests pin the fused trace against the reference XLA trace on
-triangle-only scenes covering: FLAT + PHONG normals, shadows (facing
-cull + occluders), multiple lights, the mirror chain, and dead-ray
-gating across segments.
+These tests pin the fused trace against the reference XLA trace on:
+triangle-only scenes (FLAT + PHONG normals, shadows with facing cull +
+occluders, multiple lights, the mirror chain, dead-ray gating across
+segments), TEXTURED triangle scenes (in-kernel nearest atlas index +
+the diffuse override), ANALYTIC primitives (sphere/plane/cylinder
+resolve in-kernel, tri-less scenes included), and mixed-kind scenes —
+the full scope of the reference's single GPU kernel
+(mytracer_gpu.cu:237-312, 511-544).
 """
 
 import numpy as np
@@ -70,12 +74,113 @@ def test_fused_matches_xla(mirror, phong, two_lights):
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=3e-5)
 
 
-def test_fused_falls_back_when_not_applicable():
-    """Textured / non-tri / lightless scenes silently keep the XLA path."""
-    s = tri_scene()
-    s.add_sphere((0, 2, 0), 0.3, Material(diffuse=(1, 1, 1)))  # non-tri
+def mixed_scene(mirror=0.0, w=40, h=40, cyl=True, tris=True):
+    """Triangles + sphere + plane (+ cylinder): every hit kind on screen."""
+    s = Scene()
+    s.set_camera(eye=(0, 1.2, 5.0), center=(0, 0, 0), up=(0, 1, 0),
+                 fovy=55, width=w, height=h)
+    s.add_light((3, 5, 4), (0.8, 0.75, 0.7))
+    s.add_light((-2, 3, 2), (0.25, 0.25, 0.35))
+    s.ambience = (0.15, 0.15, 0.18)
+    s.background = (0.04, 0.07, 0.12)
+    s.max_depth = 2
+    s.add_sphere((-1.1, 0.1, 0.4), 0.6, Material(
+        diffuse=(0.2, 0.3, 0.7), specular=(0.6, 0.6, 0.6), shininess=40,
+        mirror=mirror))
+    s.add_plane((0, -0.9, 0), (0, 1, 0), Material(
+        diffuse=(0.5, 0.5, 0.45), mirror=mirror * 0.5))
+    if cyl:
+        s.add_cylinder((1.6, -0.3, -0.5), (0.1, 1, 0.15), 0.35, 1.4,
+                       Material(diffuse=(0.6, 0.5, 0.2), specular=(0.3,) * 3,
+                                shininess=12))
+    if tris:
+        v, f = uv_sphere(0.55, 7, 11, center=(0.4, 0.0, 0.8))
+        s.add_mesh(TriangleMesh(v, f, material=Material(
+            diffuse=(0.6, 0.2, 0.2), specular=(0.4,) * 3, shininess=25,
+            mirror=mirror), draw_mode=PHONG))
+    return s
+
+
+def textured_scene(w=40, h=40):
+    """Two textured quads (different texture sizes) + an untextured mesh."""
+    s = Scene()
+    s.set_camera(eye=(0, 0.4, 4.0), center=(0, 0, 0), up=(0, 1, 0),
+                 fovy=50, width=w, height=h)
+    s.add_light((2, 3, 4), (0.9, 0.85, 0.8))
+    s.ambience = (0.25, 0.25, 0.25)
+    s.background = (0.1, 0.05, 0.15)
+
+    def quad(cx, cy, size, tex, mat=None):
+        fv = np.asarray([[cx - size, cy - size, 0], [cx + size, cy - size, 0],
+                         [cx + size, cy + size, 0], [cx - size, cy + size, 0]],
+                        np.float32)
+        ff = np.asarray([[0, 1, 2], [0, 2, 3]], np.int32)
+        uvi = np.asarray([[0, 1, 2], [0, 2, 3]], np.int32)
+        uu = np.asarray([0, 1, 1, 0], np.float32)
+        vv = np.asarray([0, 0, 1, 1], np.float32)
+        return TriangleMesh(fv, ff, material=mat or Material(
+            diffuse=(1, 0, 1), specular=(0.2,) * 3, shininess=10),
+            uv_indices=uvi, u_coords=uu, v_coords=vv, texture=tex,
+            draw_mode=FLAT)
+
+    rng = np.random.RandomState(7)
+    tex1 = rng.rand(13, 9, 3).astype(np.float32)   # odd sizes: round/clamp
+    tex2 = rng.rand(6, 17, 3).astype(np.float32)
+    s.add_mesh(quad(-0.8, 0.0, 0.7, tex1))
+    s.add_mesh(quad(0.9, 0.2, 0.6, tex2))
+    v, f = uv_sphere(0.35, 6, 9, center=(0.0, -0.5, 1.2))
+    s.add_mesh(TriangleMesh(v, f, material=Material(
+        diffuse=(0.3, 0.6, 0.3), specular=(0.3,) * 3, shininess=20),
+        draw_mode=PHONG))
+    return s
+
+
+@pytest.mark.parametrize("mirror,cyl,tris", [
+    (0.0, True, True),
+    (0.35, False, True),   # mirror chain across kinds
+    (0.0, True, False),    # tri-less: analytic-only fused path
+])
+def test_fused_matches_xla_mixed_kinds(mirror, cyl, tris):
+    s = mixed_scene(mirror=mirror, cyl=cyl, tris=tris)
     data = s.build()
-    assert not FUSED.resolved_fused_shade(data)
+    assert FUSED.resolved_fused_shade(data)
+    o, d = rays_of(s)
+    want = np.asarray(tr.trace(data, o, d, PLAIN))
+    got = np.asarray(tr.trace(data, o, d, FUSED))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=3e-5)
+
+
+def test_fused_matches_xla_textured():
+    s = textured_scene()
+    data = s.build()
+    assert data.has_textures
+    assert FUSED.resolved_fused_shade(data)
+    o, d = rays_of(s)
+    want = np.asarray(tr.trace(data, o, d, PLAIN))
+    got = np.asarray(tr.trace(data, o, d, FUSED))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=3e-5)
+
+
+def test_fused_topology_matches_xla_mixed():
+    """trace_topology's fused record == the XLA record on mixed scenes."""
+    s = mixed_scene(mirror=0.3)
+    data = s.build()
+    o, d = rays_of(s)
+    want = tr.trace_topology(data, o, d, PLAIN)
+    got = tr.trace_topology(data, o, d, FUSED)
+    np.testing.assert_array_equal(np.asarray(got.kind), np.asarray(want.kind))
+    # indices compare only where a hit was recorded (miss rows carry 0)
+    hit = np.asarray(want.hit)
+    np.testing.assert_array_equal(np.asarray(got.idx)[hit],
+                                  np.asarray(want.idx)[hit])
+    np.testing.assert_array_equal(np.asarray(got.hit), hit)
+    np.testing.assert_array_equal(np.asarray(got.miss), np.asarray(want.miss))
+    np.testing.assert_array_equal(np.asarray(got.shadow),
+                                  np.asarray(want.shadow))
+
+
+def test_fused_falls_back_when_not_applicable():
+    """Lightless scenes / oversized material tables keep the XLA path."""
     s2 = tri_scene()
     s2.lights = []
     data2 = s2.build()
@@ -85,6 +190,17 @@ def test_fused_falls_back_when_not_applicable():
     want = np.asarray(tr.trace(data2, o, d, PLAIN))
     got = np.asarray(tr.trace(data2, o, d, FUSED))
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+    # > MAX_MATERIALS distinct materials -> gate off (in-kernel select
+    # unrolls over the material table)
+    s3 = tri_scene()
+    rng = np.random.RandomState(3)
+    for i in range(70):
+        s3.add_sphere((10 + i, 0, 0), 0.1,
+                      Material(diffuse=tuple(rng.rand(3))))
+    data3 = s3.build()
+    assert data3.mat_diffuse.shape[0] > 64
+    assert not FUSED.resolved_fused_shade(data3)
 
 
 def test_render_clamp_false_stays_differentiable():
