@@ -106,24 +106,46 @@ def _dp_cut(tri_bbmin: np.ndarray, tri_bbmax: np.ndarray, m: int):
     # amortizes it across subgroups.
     root_sa = float(_sa(tri_bbmin.min(0)[None], tri_bbmax.max(0)[None])[0])
     krel = _kappa_rel()
+
+    def run_dp(eps):
+        # cost[i] = best total SA of a valid partition of tris [0, i)
+        cost = np.full(T + 1, INF, np.float32)
+        back = np.zeros(T + 1, np.int32)
+        cost[0] = 0.0
+        ws = np.arange(1, m + 1)
+        for i in range(1, T + 1):
+            w = ws[:min(i, m)]
+            cand = cost[i - w] + sa_w[w - 1, i - w] + eps
+            j = int(np.argmin(cand))
+            cost[i] = cand[j]
+            back[i] = i - int(w[j])
+        cuts = []
+        i = T
+        while i > 0:
+            cuts.append((back[i], i))
+            i = back[i]
+        cuts.reverse()
+        return cuts
+
     eps = np.float32(max(krel * root_sa, 1e-12))
-    # cost[i] = best total SA of a valid partition of tris [0, i)
-    cost = np.full(T + 1, INF, np.float32)
-    back = np.zeros(T + 1, np.int32)
-    cost[0] = 0.0
-    ws = np.arange(1, m + 1)
-    for i in range(1, T + 1):
-        w = ws[:min(i, m)]
-        cand = cost[i - w] + sa_w[w - 1, i - w] + eps
-        j = int(np.argmin(cand))
-        cost[i] = cand[j]
-        back[i] = i - int(w[j])
-    cuts = []
-    i = T
-    while i > 0:
-        cuts.append((back[i], i))
-        i = back[i]
-    cuts.reverse()
+    cuts = run_dp(eps)
+    # lane-boundary snap: the phase-1 key/visit arrays pad K to a
+    # multiple of 128 columns (ops/pallas_cluster._phase1_exact_pallas),
+    # so a K barely over a multiple pays a whole extra column block of
+    # slab tests for a handful of clusters. When K lands within 24 of
+    # the lower multiple, raise kappa until the cut fits it — the SA
+    # valley is flat there (PERF.md round-4 sweep: K 310 vs 380 is
+    # within 0.7% forward), so the snap is near-free in solve work and
+    # saves the padded phase-1 columns outright.
+    target = (len(cuts) // 128) * 128
+    if target >= 128 and len(cuts) - target <= 24:
+        eps_try = eps
+        for _ in range(8):
+            eps_try = np.float32(eps_try * 1.35)
+            cand = run_dp(eps_try)
+            if len(cand) <= target:
+                cuts = cand
+                break
     first = np.asarray([a for a, _ in cuts], np.int32)
     count = np.asarray([b - a for a, b in cuts], np.int32)
     K = len(cuts)

@@ -654,12 +654,17 @@ def scene_08_office(scale: float = 1.0, tess: int = 6, resolution=None) -> Scene
     """
     w, h = resolution if resolution else (int(500 * scale), int(500 * scale))
     s = Scene()
-    s.set_camera(eye=(-0.7, 1.6, 4.6), center=(0.4, 0.95, 0), up=(0, 1, 0),
-                 fovy=60, width=w, height=h)
+    # camera + wall geometry solved jointly against 28 image anchors
+    # measured from the golden PNG (corner/edge lines of the left wall,
+    # window bands, cabinet wall, floor lines — round-5 least-squares
+    # fit, max residual ~19 px at 500x500; see ROUND5.md)
+    s.set_camera(eye=(-1.4463, 1.5923, 5.3346),
+                 center=(-0.3003, 1.1542, -0.6405), up=(0, 1, 0),
+                 fovy=47.82, width=w, height=h)
     s.add_light((-0.35, 2.45, 2.3), (0.75, 0.75, 0.72))
     # fill light sits near the camera plane so the near cabinet-front
-    # faces (+z normals at z > 4) read lit, as in the golden's bottom-right
-    s.add_light((-1.6, 2.4, 4.5), (0.45, 0.45, 0.45))
+    # faces (+z normals) read lit, as in the golden's bottom-right
+    s.add_light((-1.6, 2.4, 4.9), (0.45, 0.45, 0.45))
     s.ambience = (0.5, 0.5, 0.5)
     s.background = (0, 0, 0)
 
@@ -674,10 +679,10 @@ def scene_08_office(scale: float = 1.0, tess: int = 6, resolution=None) -> Scene
     white = Material(ambient=(0.76, 0.76, 0.76), diffuse=(0.45, 0.45, 0.45), shadowable=False)
     # the right wall faces the key lights near-normal; a full 0.55 diffuse
     # would blow it to ~0.8 where the golden reads ~0.55
-    right_white = Material(ambient=(0.66, 0.66, 0.66), diffuse=(0.32, 0.32, 0.32),
+    right_white = Material(ambient=(0.95, 0.95, 0.95), diffuse=(0.55, 0.55, 0.55),
                            shadowable=False)
     dark_gray = Material(ambient=(0.16, 0.16, 0.16), diffuse=(0.25, 0.25, 0.25))
-    maroon = Material(ambient=(0.24, 0.045, 0.045), diffuse=(0.4, 0.08, 0.08))
+    maroon = Material(ambient=(0.13, 0.028, 0.028), diffuse=(0.26, 0.055, 0.055))
     yellow = Material(ambient=(0.48, 0.47, 0.23), diffuse=(0.56, 0.54, 0.27),
                       specular=(0.1, 0.1, 0.1), shininess=8)
     # the golden's green band reads pale yellow-green where lit
@@ -689,31 +694,20 @@ def scene_08_office(scale: float = 1.0, tess: int = 6, resolution=None) -> Scene
     glass_white = Material(ambient=(0.72, 0.72, 0.75), diffuse=(0.4, 0.4, 0.42),
                            shadowable=False)
 
-    W, H, D = 5.5, 2.9, 9.0   # room extents (narrow enough that both
-    #                           side walls read in the 60-deg frame)
+    W, H, D2 = 5.5, 2.9, 5.5  # room width / back-room height / near extent
     zw = -2.2                 # window wall plane (front room ends here)
-    # front-room floor / ceiling / side walls (tessellated quads -> real
-    # triangles); they stop at the window wall so the back-room envelope
-    # behind the glass doesn't z-fight them
-    # the golden's front room has NO visible ceiling: the top of frame is
-    # black background in the middle with the tall white side walls showing
-    # in both top corners — so the walls run high and the ceiling is open
-    HW = 8.0
+    # wall heights from the round-5 anchor fit: the golden's walls are
+    # FINITE with open black above — the left wall's top edge crosses the
+    # frame from (0, 8) to (25, 36) px, the right wall tops out at 3.98
+    # with a white band above the cabinets in the top-right corner only
+    HT = 3.55                 # left wall height
+    RT = 3.98                 # right wall height
     for p0, p1, p3, m in [
-        ((-W/2, 0, D/2), (W/2, 0, D/2), (-W/2, 0, zw), maroon),             # floor
-        ((-W/2, 0, D/2), (-W/2, 0, zw), (-W/2, HW, D/2), white),            # left wall
+        ((-W/2, 0, D2), (W/2, 0, D2), (-W/2, 0, zw), maroon),               # floor
+        ((-W/2, 0, D2), (-W/2, 0, zw), (-W/2, HT, D2), white),              # left wall
         # right wall wound so the face normal points INTO the room (-x):
-        # FLAT diffuse is one-sided, and the golden's right wall reads lit.
-        # Above the cabinets the white shows only in the NEAR top corner
-        # (z >= 1.2) — the golden's top-middle stays black — so the wall is
-        # full-height only near the camera and room-height elsewhere
-        ((W/2, 0, zw), (W/2, 0, D/2), (W/2, H, zw), right_white),           # right wall
-        ((W/2, H, -0.5), (W/2, H, D/2), (W/2, 5.0, -0.5), right_white),     # right wall top
-        # the left wall continues above the window wall over the back room
-        # (shared building wall): up-corner rays that clear the H=2.9
-        # window wall still land on white, as in the golden's top-left
-        # corner (the golden's top-middle/right stays black, so only left)
-        ((-W/2, H, zw), (-W/2, H, zw - 3.4), (-W/2, HW, zw), white),        # left upper band
+        # FLAT diffuse is one-sided, and the golden's right wall reads lit
+        ((W/2, 0, zw), (W/2, 0, D2), (W/2, RT, zw), right_white),           # right wall
     ]:
         v, f = _tess_quad(p0, p1, p3, 2 * T, 2 * T)
         s.add_mesh(TriangleMesh(v, f, material=m, draw_mode=FLAT))
@@ -721,26 +715,37 @@ def scene_08_office(scale: float = 1.0, tess: int = 6, resolution=None) -> Scene
     # window wall at z = -2.2, taller than the back room (3.65): sill band
     # 0..0.75 (the golden's green band tops out just below the glass),
     # main glass 0.75..2.85 open to the back room, dark transom bar
-    # 2.85..3.05, LIT frosted transom panes 3.05..3.45 (the golden's row
-    # of three bright panes up top), dark head band 3.45..3.65, black
-    # above (open top).
+    # 2.85..3.05, LIT frosted transom panes 3.05..3.45, dark head band
+    # 3.45..3.65, black above (open top).
     WH = 3.65
-    add_box((W, 0.75, 0.12), (0, 0.375, zw), dark_gray, t=T // 2 + 1)
-    add_box((W, 0.20, 0.12), (0, 2.95, zw), dark_gray)
-    add_box((W, 0.20, 0.12), (0, 3.55, zw), dark_gray)
-    # frosted transom panes: dimmer than the back-room envelope (the
-    # golden's transoms average ~0.55 against the dark frame)
+    # band heights re-inverted from the golden's measured rows under the
+    # solved camera: sill 0..0.69, glass 0.69..2.61, wide transom bar
+    # 2.61..3.14, frosted transoms 3.14..3.50, head band 3.50..3.65
+    add_box((W, 0.69, 0.12), (0, 0.345, zw), dark_gray, t=T // 2 + 1)
+    # the upper bands STOP at x=1.95: right of that the golden shows the
+    # tall bright back-room wall OVER the window wall (the white band in
+    # the top-right corner between the dark corner post and the frame)
+    add_box((4.7, 0.53, 0.12), (-0.4, 2.875, zw), dark_gray)
+    add_box((4.7, 0.15, 0.12), (-0.4, 3.575, zw), dark_gray)
+    # frosted transom panes: dimmer than the back-room envelope; the
+    # golden's transom band spans the same breadth as the glass with only
+    # a THIN divider over the wide center post (measured runs at y=75)
     trans_white = Material(ambient=(0.5, 0.5, 0.52), diffuse=(0.2, 0.2, 0.2),
                            shadowable=False)
-    add_box((W - 0.3, 0.40, 0.10), (0, 3.25, zw), trans_white)
+    add_box((1.65, 0.37, 0.10), (-1.575, 3.315, zw), trans_white)
+    add_box((2.27, 0.37, 0.10), (0.435, 3.315, zw), trans_white)
     # mullions sit 0.005 proud of the coplanar bands so the overlap
-    # doesn't z-fight (speckle in the round-2 render); the golden's
-    # center post is visibly wider than the side posts
-    # measured from the golden (column profile of the through-glass band):
-    # left mullion -2.67..-2.19, left pane to 0.11, wide center post
-    # 0.11..0.68, right pane runs all the way to the right wall
-    for x, bw in ((-2.43, 0.48), (0.395, 0.57)):
+    # doesn't z-fight. Measured from the golden through-glass runs
+    # (y=170..230 -> wall-plane x): left post [-2.75, -2.37], left pane
+    # [-2.37, -0.72], wide center post [-0.72, -0.13], right pane
+    # [-0.13, 1.54], SOLID dark section [1.54, 2.75] (the pane does NOT
+    # run to the wall; the golden is dark right of img x=357)
+    for x, bw in ((-2.56, 0.38), (-0.425, 0.59)):
         add_box((bw, WH, 0.13), (x, WH / 2, zw), dark_gray)
+    # solid corner post of the window wall (the golden's dark gray
+    # column at img x 357-400); right of it the wall is OPEN above the
+    # cabinets to the bright back room
+    add_box((0.41, WH, 0.13), (1.745, WH / 2, zw), dark_gray)
     # --- visible back room behind the glass (the golden shows a lit room
     # with its own cabinets, desk, chair and doors through the window) ---
     zb = zw - 3.4                                  # back room rear wall
@@ -748,14 +753,22 @@ def scene_08_office(scale: float = 1.0, tess: int = 6, resolution=None) -> Scene
     # own; the scene lights sit in the front room, so these surfaces are
     # ambient-heavy (self-lit look) instead of adding a third light that
     # would inflate the benchmark's shadow-query cost
-    bright = Material(ambient=(0.94, 0.94, 1.04), diffuse=(0.28, 0.28, 0.32),
+    bright = Material(ambient=(1.28, 1.28, 1.34), diffuse=(0.1, 0.1, 0.12),
                       shadowable=False)
-    bfloor = Material(ambient=(0.7, 0.7, 0.78), diffuse=(0.22, 0.22, 0.26),
+    bfloor = Material(ambient=(1.05, 1.05, 1.12), diffuse=(0.1, 0.1, 0.12),
                       shadowable=False)
     v, f = _tess_quad((-W/2, 0, zw), (-W/2, 0, zb), (-W/2, H, zw), T, T)
     s.add_mesh(TriangleMesh(v, f, material=bright, draw_mode=FLAT))
     v, f = _tess_quad((W/2, 0, zw), (W/2, 0, zb), (W/2, H, zw), T, T)
     s.add_mesh(TriangleMesh(v, f, material=bright, draw_mode=FLAT))
+    # TALL bright return panel just behind the window-wall corner: the
+    # white band the golden shows OVER the window wall in the top-right
+    # (vertical left boundary at img x~400 -> panel depth ~0.7); beyond
+    # it the back room tops out at H and the frame stays black
+    vbright = Material(ambient=(1.72, 1.72, 1.76), diffuse=(0.3, 0.3, 0.32),
+                       shadowable=False)
+    v, f = _tess_quad((W/2, 0, zw), (W/2, 0, -2.9), (W/2, 4.2, zw), T, T)
+    s.add_mesh(TriangleMesh(v, f, material=vbright, draw_mode=FLAT))
     v, f = _tess_quad((-W/2, 0.0, zb), (W/2, 0.0, zb), (-W/2, H, zb), T, T)
     s.add_mesh(TriangleMesh(v, f, material=bright, draw_mode=FLAT))
     v, f = _tess_quad((-W/2, 0, zw), (W/2, 0, zw), (-W/2, 0, zb), T, T)
@@ -764,7 +777,7 @@ def scene_08_office(scale: float = 1.0, tess: int = 6, resolution=None) -> Scene
     s.add_mesh(TriangleMesh(v, f, material=bright, draw_mode=FLAT))
     # wainscot: the golden's back room reads mid-gray below desk height
     # (furniture clutter / shadow), bright only in its upper half
-    mid_gray = Material(ambient=(0.5, 0.5, 0.52), diffuse=(0.1, 0.1, 0.1),
+    mid_gray = Material(ambient=(0.38, 0.38, 0.40), diffuse=(0.0, 0.0, 0.0),
                         shadowable=False)
     add_box((0.06, 1.2, zw - zb), (-W/2 + 0.03, 0.6, (zw + zb) / 2), mid_gray)
     add_box((W, 1.2, 0.06), (0, 0.6, zb + 0.03), mid_gray)
@@ -772,70 +785,76 @@ def scene_08_office(scale: float = 1.0, tess: int = 6, resolution=None) -> Scene
     # and two door frames on the rear wall
     # the golden's back-room cabinets read pale tan, washed out by the
     # back room's own light
-    pale_tan = Material(ambient=(0.52, 0.52, 0.44), diffuse=(0.4, 0.4, 0.35),
+    pale_tan = Material(ambient=(0.92, 0.90, 0.74), diffuse=(0.12, 0.12, 0.1),
                         shadowable=False)
     for ix in range(3):
-        add_box((0.72, 1.75, 0.35), (1.35 + ix * 0.78, 0.88, zb + 0.25),
+        add_box((0.55, 2.25, 0.35), (1.43 + ix * 0.57, 1.125, zb + 0.25),
                 pale_tan, t=T // 2 + 1)
-        add_box((0.015, 1.75, 0.37), (1.35 + ix * 0.78 - 0.37, 0.88, zb + 0.25),
-                dark_gray)
+        add_box((0.015, 2.25, 0.37), (1.43 + ix * 0.57 - 0.285, 1.125,
+                                      zb + 0.25), dark_gray)
     add_box((1.5, 0.12, 0.7), (-1.3, 0.85, zb + 0.85), glass_white)
     add_box((0.1, 0.78, 0.1), (-1.3, 0.4, zb + 0.85), dark_gray)
     _chair(s, (-1.75, 0, zb + 1.5), 0.9,
            Material(ambient=(0.1, 0.1, 0.4), diffuse=(0.2, 0.2, 0.75)),
            dark_gray, T)
-    add_box((0.9, 2.1, 0.06), (-2.5, 1.05, zb + 0.05), dark_gray)
-    # free-standing gray divider panel seen through the left pane
-    backdiv = Material(ambient=(0.72, 0.72, 0.78), diffuse=(0.15, 0.15, 0.17),
-                       shadowable=False)
-    add_box((1.0, 2.9, 0.08), (-1.6, 1.45, zb + 0.6), backdiv)
+    # dark door on the rear wall (the golden's left pane shows a gray
+    # door rectangle on the bright back wall, img x 150-225)
+    door_gray = Material(ambient=(0.9, 0.9, 0.9), diffuse=(0.0, 0.0, 0.0),
+                         shadowable=False)
+    add_box((1.44, 2.25, 0.06), (-0.55, 1.125, zb + 0.04), door_gray)
 
-    # cabinet wall on the right: doors with visible seams + dark handles
+    # cabinet wall on the right: doors with visible seams + dark handles.
+    # Round-5 anchor fit: the cabinet FRONT plane sits at x = 0.97 (the
+    # golden's vertical yellow edge at img x=377), the doors run from the
+    # floor to 2.40 in two equal rows, and the wall fills the frame's
+    # right edge down to the near corner
+    CABX, CABT = 0.97, 2.40
     for iy in range(2):
         for ix in range(5):
             cz = 0.35 + ix * 1.12
-            # top row stops short of the ceiling: the golden shows white
-            # wall above the cabinets in the top-right corner
-            cy, ch = (0.72, 1.28) if iy == 0 else (1.83, 0.94)
-            add_box((0.95, ch, 1.05), (W/2 - 0.65, cy, cz),
+            cy, ch = (0.60, 1.20) if iy == 0 else (1.80, 1.20)
+            add_box((W/2 - CABX, ch, 1.05), ((W/2 + CABX) / 2, cy, cz),
                     yellow, t=T // 2 + 1)
             # horizontal seam at the row's bottom edge + full-height
-            # vertical seam, both tracking the (resized) door extents
-            add_box((0.57, 0.02, 1.07), (W/2 - 0.45, cy - ch / 2, cz),
+            # vertical seam showing through the inter-door gaps
+            add_box((0.6, 0.02, 1.07), (CABX + 0.45, cy - ch / 2, cz),
                     dark_gray)
-            add_box((0.57, ch, 0.02), (W/2 - 0.45, cy, cz - 0.53),
+            add_box((0.6, ch, 0.02), (CABX + 0.45, cy, cz - 0.53),
                     dark_gray)
             # handle knobs proud of the door face
             v, f = shapes.uv_sphere(0.035, 6, 8,
-                                    center=(W/2 - 0.74, cy - ch / 2 + 0.64,
+                                    center=(CABX - 0.03, cy - ch / 2 + 0.64,
                                             cz - 0.40))
             s.add_mesh(TriangleMesh(v, f, material=dark_gray, draw_mode=PHONG))
 
-    # green sideboard under the window, topping out at the sill; its
-    # right section reads dark in the golden (desk + chair shadow side)
-    add_box((W - 0.05, 0.72, 0.6), (0, 0.36, zw + 0.45), green, t=T // 2 + 1)
+    # green sideboard under the window, topping out at the sill; it ends
+    # at the cabinet front plane (the golden's green band stops at the
+    # cabinet junction, img x~360); its right section reads dark
+    add_box((CABX + 2.72, 0.72, 0.6), ((CABX - 2.72) / 2, 0.36, zw + 0.45),
+            green, t=T // 2 + 1)
     dark_green = Material(ambient=(0.02, 0.1, 0.02), diffuse=(0.05, 0.22, 0.05))
-    add_box((1.9, 0.73, 0.62), (1.3, 0.36, zw + 0.45), dark_green)
+    add_box((1.0, 0.73, 0.62), (0.45, 0.36, zw + 0.45), dark_green)
 
-    # curved desk: kidney profile extruded (tessellated top + skirt);
-    # the golden's desk top reads near-white-yellow under the key light
-    # the golden's desk is blown-out white-yellow only in the specular
-    # pool under the key light (0.92); its edges fall to ~0.6 diffuse
+    # long tapered desk along the left side of the room (round-5 fit of
+    # the golden's yellow region inverted to the y=0.72 plane: left edge
+    # ~straight at x=-1.52, right edge widening from -0.66 at the window
+    # end to +0.04 near the camera, rounded ends)
     desk_yellow = Material(ambient=(0.56, 0.55, 0.33), diffuse=(0.62, 0.61, 0.38),
                            specular=(0.85, 0.85, 0.6), shininess=8)
     desk_top, desk_skirt = _desk(tess=max(24, 8 * T))
     s.add_mesh(TriangleMesh(desk_top[0], desk_top[1], material=desk_yellow, draw_mode=FLAT))
     s.add_mesh(TriangleMesh(desk_skirt[0], desk_skirt[1], material=dark_gray, draw_mode=FLAT))
     # desk legs
-    for lx, lz in [(-0.75, 1.2), (0.6, 1.0), (0.05, 2.1)]:
+    for lx, lz in [(-1.1, -0.9), (-0.95, 0.9), (-0.72, 1.95)]:
         v, f = shapes.cylinder(0.06, 0.72, 10, center=(lx, 0.36, lz))
         s.add_mesh(TriangleMesh(v, f, material=dark_gray, draw_mode=PHONG))
 
-    # office chairs (blue seats/backs on dark posts)
-    # the right chair reads large in the golden (nearly a full 8x8 cell)
-    for cx, cz, rot, csc in [(-1.15, 1.2, 0.5, np.float32([0.8, 0.8, 0.8])),
-                             (-0.75, 3.0, 0.15, 0.85),
-                             (1.2, 0.45, -0.6, np.float32([1.4, 1.15, 1.4]))]:
+    # office chairs (blue seats/backs on dark posts), placed by
+    # inverting the golden's blue regions under the solved camera
+    for cx, cz, rot, csc in [
+            (-2.0, 0.6, 1.1, np.float32([0.95, 0.9, 0.95])),
+            (0.02, 0.1, -0.5, 1.0),
+            (-1.3, 3.3, 0.3, np.float32([0.8, 0.7, 0.8]))]:
         _chair(s, (cx, 0, cz), rot, blue, dark_gray, T, scale=csc)
 
     s.max_depth = 2
@@ -863,17 +882,39 @@ def _tess_box(size, center, t):
 
 
 def _desk(tess=48):
-    """Kidney-shaped desk top + vertical skirt, y = 0.72..0.78."""
-    ang = np.linspace(0, 2 * np.pi, tess, endpoint=False)
-    # kidney: ellipse with a cosine pinch
-    r = 1.35 * (1.0 + 0.35 * np.cos(ang) - 0.25 * np.cos(2 * ang))
-    prof = np.stack([r * np.cos(ang) * 0.66, r * np.sin(ang) * 0.62], 1)
-    prof += np.float32([-0.13, 1.9])  # push into the room
+    """Long desk top + vertical skirt, y = 0.72..0.78.
+
+    Footprint traced from the golden: the bright desk region's left and
+    right boundaries inverted onto the y=0.75 plane under the solved
+    round-5 camera (a long slab running along the room from the window
+    to z~2.7, right edge widening to -0.08 at z~1.9, rounded near cap).
+    Control polygon resampled to ``tess`` boundary points.
+    """
+    ctrl = np.asarray([
+        (-1.52, -1.90), (-1.40, 0.10), (-1.28, 1.20), (-1.33, 2.05),
+        (-1.10, 2.55), (-0.75, 2.72), (-0.40, 2.60), (-0.12, 2.25),
+        (-0.08, 1.90), (-0.14, 1.45), (-0.22, 0.90), (-0.31, 0.30),
+        (-0.45, -0.60), (-0.55, -1.40), (-0.80, -1.85), (-1.20, -1.95),
+    ], np.float32)
+    # periodic arc-length resample to tess points
+    closed = np.concatenate([ctrl, ctrl[:1]])
+    seg = np.linalg.norm(np.diff(closed, axis=0), axis=1)
+    cum = np.concatenate([[0], np.cumsum(seg)])
+    tt = np.linspace(0, cum[-1], tess, endpoint=False)
+    px = np.interp(tt, cum, closed[:, 0])
+    pz = np.interp(tt, cum, closed[:, 1])
+    # light smoothing so the resampled polygon reads curved, not faceted
+    for _ in range(2):
+        px = 0.5 * px + 0.25 * (np.roll(px, 1) + np.roll(px, -1))
+        pz = 0.5 * pz + 0.25 * (np.roll(pz, 1) + np.roll(pz, -1))
+    # control points trace the outline clockwise in plan view; the top
+    # fan expects counterclockwise (+y normal), so reverse
+    prof = np.stack([px, pz], 1).astype(np.float32)[::-1]
     y0, y1 = 0.72, 0.78
     n = tess
     top = np.concatenate([
         np.stack([prof[:, 0], np.full(n, y1), prof[:, 1]], 1),
-        [[0.0, y1, 1.45]],
+        [[-0.80, y1, 0.40]],
     ]).astype(np.float32)
     top_faces = np.asarray([[n, (i + 1) % n, i] for i in range(n)], np.int32)
     skirt_v = np.concatenate([
