@@ -322,6 +322,15 @@ def _phase1_exact_kernel(o_ref, d_ref, t0_ref, act_ref, bbT_ref, key_out,
         key_out[0, s:s + 1, :] = lb
 
 
+#: rays per phase-1 kernel program. Phase-1's per-program work is tiny
+#: (a [SUB, Kp] slab pass per subgroup), so at the traversal kernel's
+#: RAY_TILE=1024 the ~6000 programs per office frame run at ~3.7 us
+#: each — pipeline overhead, not compute. Batching 8 ray tiles per
+#: program amortizes the launch cost 8x; the per-subgroup temporaries
+#: are processed sequentially so VMEM stays bounded.
+P1_TILE = knobs.env_int("MRT_P1_TILE", 8192, lo=1024, multiple_of=1024)
+
+
 def _phase1_exact_pallas(o4, d4, t0p, actp, cl_bbmin, cl_bbmax,
                          n_tiles: int, subs: int):
     """Run the fused exact phase-1; returns key [n_sub_total, K]."""
@@ -333,29 +342,41 @@ def _phase1_exact_pallas(o4, d4, t0p, actp, cl_bbmin, cl_bbmax,
         pad = jnp.concatenate([jnp.full((3, Kp - K), big),
                                jnp.full((3, Kp - K), -big)], axis=0)
         bbT = jnp.concatenate([bbT, pad], axis=1)
+    Rp = n_tiles * RAY_TILE
+    p1 = min(P1_TILE, Rp)
+    n_prog = (Rp + p1 - 1) // p1
+    pad_r = n_prog * p1 - Rp
+    if pad_r:
+        # padded rays: inactive, so their subgroups' keys are all-INF
+        # rows at the tail of the key array, sliced off by the caller
+        o4 = jnp.pad(o4, ((0, pad_r), (0, 0)))
+        d4 = jnp.pad(d4, ((0, pad_r), (0, 0)), constant_values=1.0)
+        t0p = jnp.pad(t0p, (0, pad_r))
+        actp = jnp.pad(actp, (0, pad_r))
+    subs_pp = p1 // SUB
     grid_spec = pl.GridSpec(
-        grid=(n_tiles,),
+        grid=(n_prog,),
         in_specs=[
-            pl.BlockSpec((RAY_TILE, 4), lambda i: (i, 0),
+            pl.BlockSpec((p1, 4), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((RAY_TILE, 4), lambda i: (i, 0),
+            pl.BlockSpec((p1, 4), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((RAY_TILE, 1), lambda i: (i, 0),
+            pl.BlockSpec((p1, 1), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((RAY_TILE, 1), lambda i: (i, 0),
+            pl.BlockSpec((p1, 1), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((6, Kp), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, subs, Kp), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((1, subs_pp, Kp), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
     )
     key = pl.pallas_call(
-        functools.partial(_phase1_exact_kernel, subs=subs),
+        functools.partial(_phase1_exact_kernel, subs=subs_pp),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_tiles, subs, Kp), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_prog, subs_pp, Kp), jnp.float32),
     )(o4, d4, t0p[:, None], actp[:, None], bbT)
-    return key.reshape(n_tiles * subs, Kp)[:, :K]
+    return key.reshape(n_prog * subs_pp, Kp)[:Rp // SUB, :K]
 
 
 def _phase1_frustum(o_s, d_s, t0_s, act_s, cl_bbmin, cl_bbmax):

@@ -661,12 +661,15 @@ def scene_08_office(scale: float = 1.0, tess: int = 6, resolution=None) -> Scene
     s.set_camera(eye=(-1.4463, 1.5923, 5.3346),
                  center=(-0.3003, 1.1542, -0.6405), up=(0, 1, 0),
                  fovy=47.82, width=w, height=h)
-    s.add_light((-0.35, 2.45, 2.3), (0.75, 0.75, 0.72))
+    s.add_light((-0.35, 2.45, 2.3), (0.864, 0.895, 0.96))
     # fill light sits near the camera plane so the near cabinet-front
     # faces (+z normals) read lit, as in the golden's bottom-right
-    s.add_light((-1.6, 2.4, 4.9), (0.45, 0.45, 0.45))
-    s.ambience = (0.5, 0.5, 0.5)
-    s.background = (0, 0, 0)
+    # the palette fit drives the fill light to zero color; its position
+    # is kept so the shadow-query workload (the benchmark shape) is
+    # unchanged — a zero-color light contributes nothing to the image
+    s.add_light((-1.6, 2.4, 4.9), (0.0, 0.0, 0.0))
+    s.ambience = (0.573, 0.564, 0.557)
+    s.background = (0.0198, 0.0187, 0.0158)
 
     T = tess
 
@@ -676,23 +679,27 @@ def scene_08_office(scale: float = 1.0, tess: int = 6, resolution=None) -> Scene
             v, f = _tess_box(size, center, t)
         s.add_mesh(TriangleMesh(v, f, material=mat, draw_mode=mode))
 
-    white = Material(ambient=(0.76, 0.76, 0.76), diffuse=(0.45, 0.45, 0.45), shadowable=False)
+    white = Material(ambient=(0.784, 0.786, 0.85), diffuse=(0.369, 0.344, 0.197),
+                     shadowable=False)
     # the right wall faces the key lights near-normal; a full 0.55 diffuse
     # would blow it to ~0.8 where the golden reads ~0.55
     right_white = Material(ambient=(0.95, 0.95, 0.95), diffuse=(0.55, 0.55, 0.55),
                            shadowable=False)
-    dark_gray = Material(ambient=(0.16, 0.16, 0.16), diffuse=(0.25, 0.25, 0.25))
-    maroon = Material(ambient=(0.13, 0.028, 0.028), diffuse=(0.26, 0.055, 0.055))
-    yellow = Material(ambient=(0.48, 0.47, 0.23), diffuse=(0.56, 0.54, 0.27),
-                      specular=(0.1, 0.1, 0.1), shininess=8)
+    dark_gray = Material(ambient=(0.376, 0.486, 0.464), diffuse=(0.0, 0.0, 0.093),
+                         specular=(0.127, 0.055, 0.0))
+    maroon = Material(ambient=(0.126, 0.095, 0.007), diffuse=(0.157, 0.054, 0.124),
+                      specular=(0.095, 0.047, 0.0))
+    yellow = Material(ambient=(0.458, 0.439, 0.256), diffuse=(0.592, 0.595, 0.355),
+                      specular=(1.621, 1.639, 1.144), shininess=8)
     # the golden's green band reads pale yellow-green where lit
-    green = Material(ambient=(0.3, 0.38, 0.18), diffuse=(0.3, 0.42, 0.18))
+    green = Material(ambient=(0.0, 0.0, 0.235), diffuse=(0.12, 0.211, 0.291),
+                     specular=(0.0, 0.018, 0.116))
     # the golden's chairs read deep navy (near-black in shadow, ~0.4 blue
     # on lit faces)
-    blue = Material(ambient=(0.05, 0.05, 0.22), diffuse=(0.1, 0.1, 0.45),
-                    specular=(0.15, 0.15, 0.15), shininess=10)
-    glass_white = Material(ambient=(0.72, 0.72, 0.75), diffuse=(0.4, 0.4, 0.42),
-                           shadowable=False)
+    blue = Material(ambient=(0.153, 0.155, 0.468), diffuse=(0.153, 0.191, 0.285),
+                    specular=(0.0, 0.0, 0.09), shininess=10)
+    glass_white = Material(ambient=(0.252, 0.311, 0.214), diffuse=(0.131, 0.111, 0.048),
+                           specular=(0.128, 0.109, 0.048), shadowable=False)
 
     W, H, D2 = 5.5, 2.9, 5.5  # room width / back-room height / near extent
     zw = -2.2                 # window wall plane (front room ends here)
@@ -730,8 +737,8 @@ def scene_08_office(scale: float = 1.0, tess: int = 6, resolution=None) -> Scene
     # frosted transom panes: dimmer than the back-room envelope; the
     # golden's transom band spans the same breadth as the glass with only
     # a THIN divider over the wide center post (measured runs at y=75)
-    trans_white = Material(ambient=(0.5, 0.5, 0.52), diffuse=(0.2, 0.2, 0.2),
-                           shadowable=False)
+    trans_white = Material(ambient=(0.465, 0.426, 0.402), diffuse=(0.266, 0.274, 0.237),
+                           specular=(0.0, 0.0, 0.055), shadowable=False)
     add_box((1.65, 0.37, 0.10), (-1.575, 3.315, zw), trans_white)
     add_box((2.27, 0.37, 0.10), (0.435, 3.315, zw), trans_white)
     # mullions sit 0.005 proud of the coplanar bands so the overlap
@@ -753,8 +760,8 @@ def scene_08_office(scale: float = 1.0, tess: int = 6, resolution=None) -> Scene
     # own; the scene lights sit in the front room, so these surfaces are
     # ambient-heavy (self-lit look) instead of adding a third light that
     # would inflate the benchmark's shadow-query cost
-    bright = Material(ambient=(1.28, 1.28, 1.34), diffuse=(0.1, 0.1, 0.12),
-                      shadowable=False)
+    bright = Material(ambient=(1.341, 1.349, 0.912), diffuse=(0.0, 0.0, 0.188),
+                      specular=(0.0, 0.0, 0.201), shadowable=False)
     bfloor = Material(ambient=(1.05, 1.05, 1.12), diffuse=(0.1, 0.1, 0.12),
                       shadowable=False)
     v, f = _tess_quad((-W/2, 0, zw), (-W/2, 0, zb), (-W/2, H, zw), T, T)
@@ -765,7 +772,7 @@ def scene_08_office(scale: float = 1.0, tess: int = 6, resolution=None) -> Scene
     # white band the golden shows OVER the window wall in the top-right
     # (vertical left boundary at img x~400 -> panel depth ~0.7); beyond
     # it the back room tops out at H and the frame stays black
-    vbright = Material(ambient=(1.72, 1.72, 1.76), diffuse=(0.3, 0.3, 0.32),
+    vbright = Material(ambient=(1.8, 1.8, 1.8), diffuse=(0.3, 0.3, 0.32),
                        shadowable=False)
     v, f = _tess_quad((W/2, 0, zw), (W/2, 0, -2.9), (W/2, 4.2, zw), T, T)
     s.add_mesh(TriangleMesh(v, f, material=vbright, draw_mode=FLAT))
@@ -777,15 +784,16 @@ def scene_08_office(scale: float = 1.0, tess: int = 6, resolution=None) -> Scene
     s.add_mesh(TriangleMesh(v, f, material=bright, draw_mode=FLAT))
     # wainscot: the golden's back room reads mid-gray below desk height
     # (furniture clutter / shadow), bright only in its upper half
-    mid_gray = Material(ambient=(0.38, 0.38, 0.40), diffuse=(0.0, 0.0, 0.0),
-                        shadowable=False)
+    mid_gray = Material(ambient=(0.321, 0.249, 0.0), diffuse=(0.14, 0.212, 0.0),
+                        specular=(0.071, 0.165, 0.0), shadowable=False)
     add_box((0.06, 1.2, zw - zb), (-W/2 + 0.03, 0.6, (zw + zb) / 2), mid_gray)
     add_box((W, 1.2, 0.06), (0, 0.6, zb + 0.03), mid_gray)
     # back-room furniture: cabinet row with seams, a desk, a blue chair,
     # and two door frames on the rear wall
     # the golden's back-room cabinets read pale tan, washed out by the
     # back room's own light
-    pale_tan = Material(ambient=(0.92, 0.90, 0.74), diffuse=(0.12, 0.12, 0.1),
+    pale_tan = Material(ambient=(0.0, 0.0, 0.0), diffuse=(0.0, 0.0, 0.0),
+                        specular=(0.751, 0.696, 0.726), shininess=0.0,
                         shadowable=False)
     for ix in range(3):
         add_box((0.55, 2.25, 0.35), (1.43 + ix * 0.57, 1.125, zb + 0.25),
@@ -795,11 +803,11 @@ def scene_08_office(scale: float = 1.0, tess: int = 6, resolution=None) -> Scene
     add_box((1.5, 0.12, 0.7), (-1.3, 0.85, zb + 0.85), glass_white)
     add_box((0.1, 0.78, 0.1), (-1.3, 0.4, zb + 0.85), dark_gray)
     _chair(s, (-1.75, 0, zb + 1.5), 0.9,
-           Material(ambient=(0.1, 0.1, 0.4), diffuse=(0.2, 0.2, 0.75)),
+           Material(ambient=(0.0, 0.0, 0.0), diffuse=(0.0, 0.0, 0.136)),
            dark_gray, T)
     # dark door on the rear wall (the golden's left pane shows a gray
     # door rectangle on the bright back wall, img x 150-225)
-    door_gray = Material(ambient=(0.9, 0.9, 0.9), diffuse=(0.0, 0.0, 0.0),
+    door_gray = Material(ambient=(0.667, 0.64, 0.867), diffuse=(0.037, 0.036, 0.009),
                          shadowable=False)
     add_box((1.44, 2.25, 0.06), (-0.55, 1.125, zb + 0.04), door_gray)
 
@@ -832,15 +840,16 @@ def scene_08_office(scale: float = 1.0, tess: int = 6, resolution=None) -> Scene
     # cabinet junction, img x~360); its right section reads dark
     add_box((CABX + 2.72, 0.72, 0.6), ((CABX - 2.72) / 2, 0.36, zw + 0.45),
             green, t=T // 2 + 1)
-    dark_green = Material(ambient=(0.02, 0.1, 0.02), diffuse=(0.05, 0.22, 0.05))
+    dark_green = Material(ambient=(0.0, 0.0, 0.0), diffuse=(0.0, 0.0, 0.0),
+                          specular=(0.0, 0.0, 0.543))
     add_box((1.0, 0.73, 0.62), (0.45, 0.36, zw + 0.45), dark_green)
 
     # long tapered desk along the left side of the room (round-5 fit of
     # the golden's yellow region inverted to the y=0.72 plane: left edge
     # ~straight at x=-1.52, right edge widening from -0.66 at the window
     # end to +0.04 near the camera, rounded ends)
-    desk_yellow = Material(ambient=(0.56, 0.55, 0.33), diffuse=(0.62, 0.61, 0.38),
-                           specular=(0.85, 0.85, 0.6), shininess=8)
+    desk_yellow = Material(ambient=(0.698, 0.676, 0.254), diffuse=(0.758, 0.755, 0.52),
+                           specular=(1.131, 1.13, 0.0), shininess=8)
     desk_top, desk_skirt = _desk(tess=max(24, 8 * T))
     s.add_mesh(TriangleMesh(desk_top[0], desk_top[1], material=desk_yellow, draw_mode=FLAT))
     s.add_mesh(TriangleMesh(desk_skirt[0], desk_skirt[1], material=dark_gray, draw_mode=FLAT))
@@ -1149,7 +1158,7 @@ GOLDEN_SCENES = {
     "o_05_cube": (scene_05_cube, 0.012),         # measured 0.0089
     "o_06_mask": (scene_06_mask, 0.016),         # measured 0.0119
     "o_07_toon_faces": (scene_07_toon_faces, 0.090),  # measured 0.0689 (round-4 scene)
-    "o_08_office": (scene_08_office, 0.115),     # measured 0.0870 (500x500)
+    "o_08_office": (scene_08_office, 0.081),     # measured 0.0700 (round-5 rebuild)
     "o_09_rings": (scene_09_rings, 0.020),       # measured 0.0152 (round-4 scene)
     "o_10_pokemon": (scene_10_pokemon, 0.087),   # measured 0.0669 (round-4 scene)
 }

@@ -41,7 +41,7 @@ THRESHOLDS = {
     "o_05_cube": (0.039, 0.201),      # measured 0.0185 / 0.1507
     "o_06_mask": (0.045, 0.225),      # measured 0.0247 / 0.1742 (round-4 re-fit)
     "o_07_toon_faces": (0.065, 0.184),  # measured 0.0454 / 0.1339 (round-4 rebuild)
-    "o_08_office": (0.093, 0.300),    # measured 0.0727 / 0.2498
+    "o_08_office": (0.046, 0.170),    # measured 0.0256 / 0.1172 (round-5 composition rebuild + palette fit)
     "o_09_rings": (0.048, 0.219),     # measured 0.0281 / 0.1688 (round-4 rebuild)
     "o_10_pokemon": (0.069, 0.176),   # measured 0.0488 / 0.1261 (round-4 rebuild)
 }
