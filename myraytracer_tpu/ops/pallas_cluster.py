@@ -302,8 +302,13 @@ def _phase1_exact_kernel(o_ref, d_ref, t0_ref, act_ref, bbT_ref, key_out,
     RT = o_ref.shape[0]
     sub_n = RT // subs
     Kp = bbT_ref.shape[1]
-    for s in range(subs):
-        sl = slice(s * sub_n, (s + 1) * sub_n)
+
+    # fori_loop (not a Python unroll) so the [sub_n, Kp] temporaries are
+    # REUSED across subgroups — an unrolled loop at subs=16 keeps every
+    # iteration's tmin/tmax live and overflows scoped VMEM (measured:
+    # 18.6M > 16M limit at Kp=384)
+    def body(s, carry):
+        sl = pl.ds(s * sub_n, sub_n)
         t0r = t0_ref[sl, :]                            # [sub_n, 1] (2D in:
         act = act_ref[sl, :] > 0                       # Mosaic can't insert
         tmin = jnp.full((sub_n, Kp), -isx.INF)         # a minor dim on bools)
@@ -319,16 +324,19 @@ def _phase1_exact_kernel(o_ref, d_ref, t0_ref, act_ref, bbT_ref, key_out,
         touch &= act & (tmin <= t0r)
         lb = jnp.min(jnp.where(touch, jnp.maximum(tmin, 0.0), isx.INF),
                      axis=0, keepdims=True)            # [1, Kp]
-        key_out[0, s:s + 1, :] = lb
+        key_out[0, pl.ds(s, 1), :] = lb
+        return carry
+
+    jax.lax.fori_loop(0, subs, body, 0, unroll=False)
 
 
-#: rays per phase-1 kernel program. Phase-1's per-program work is tiny
-#: (a [SUB, Kp] slab pass per subgroup), so at the traversal kernel's
-#: RAY_TILE=1024 the ~6000 programs per office frame run at ~3.7 us
-#: each — pipeline overhead, not compute. Batching 8 ray tiles per
-#: program amortizes the launch cost 8x; the per-subgroup temporaries
-#: are processed sequentially so VMEM stays bounded.
-P1_TILE = knobs.env_int("MRT_P1_TILE", 8192, lo=1024, multiple_of=1024)
+#: rays per phase-1 kernel program. Swept honestly in round 5 (compile
+#: cache cleared between configs — a first attempt silently re-used one
+#: compile and read as a four-way tie): 1024 -> 171.8 ms office fwd,
+#: 4096 -> 181.6, 8192 -> 181.2, outputs bit-identical. Bigger blocks
+#: LOSE: Pallas grid steps already pipeline across programs, while the
+#: in-program fori_loop over subgroups serializes them. 1024 stays.
+P1_TILE = knobs.env_int("MRT_P1_TILE", 1024, lo=1024, multiple_of=1024)
 
 
 def _phase1_exact_pallas(o4, d4, t0p, actp, cl_bbmin, cl_bbmax,

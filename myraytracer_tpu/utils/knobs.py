@@ -31,7 +31,7 @@ REGISTRY = {
     "MRT_GROUP": ("1", "int >= 1", "clusters per kernel loop iteration"),
     "MRT_SMEM_TABLE_BUDGET": ("600000", "int >= 4096", "scalar-prefetch SMEM guard"),
     "MRT_PHASE1": ("auto", "auto|hull|exact|frustum", "phase-1 compaction variant"),
-    "MRT_P1_TILE": ("8192", "int multiple of 1024", "rays per phase-1 kernel program (launch amortization)"),
+    "MRT_P1_TILE": ("1024", "int multiple of 1024", "rays per phase-1 kernel program; bigger measured slower"),
     "MRT_PHASE1_KERNEL": ("1", "0|1", "fused Pallas phase-1 on TPU"),
     "MRT_PALLAS_EARLY_EXIT": ("1", "0|1", "front-to-back early-out in the megakernel"),
     "MRT_CLUSTER_CUT": ("dp", "dp|subtree", "cluster cut algorithm; PERF round-4"),
