@@ -123,8 +123,10 @@ def _try_worker() -> bool:
 
     repo = os.path.dirname(os.path.abspath(__file__))
     result_path = os.path.join(qdir, f"01_bench_{tag}.jsonl")
+    # MRT_* knobs must ride along or knob sweeps through bench silently
+    # measure the defaults (the worker restores its env between jobs)
     passthrough = {k: v for k, v in os.environ.items()
-                   if k.startswith("BENCH_")}
+                   if k.startswith("BENCH_") or k.startswith("MRT_")}
     job = os.path.join(qdir, f"01_bench_{tag}.py")
     with open(job + ".tmp", "w") as f:
         f.write(

@@ -594,21 +594,23 @@ def intersect_clusters_pallas(
     subs = RAY_TILE // SUB
     n_sub = Rp // SUB
     K = cl_bbmin.shape[0]
-    # default ("auto"): exact per-ray compaction through the fused
-    # Pallas phase-1 everywhere it can compile — since the kernel made
-    # exact as cheap as the O(S*K) hull, its tighter any-hit lists win
-    # outright (office fwd 0.2838 vs 0.2876 s, bit-identical output).
-    # Interpret mode (tests/CPU) keeps the hull for finite any-hit
-    # queries: the XLA exact form materializes [R, K] intermediates.
-    # "hull"/"exact"/"frustum" force a specific variant ("frustum"
-    # measured SLOWER for closest-hit: 0.515 vs 0.466 s — looser lists
-    # cost more kernel iterations than the cheaper test saves).
+    # default ("auto"): finite any-hit queries (shadow rays) take the
+    # O(S*K) HULL compaction, closest-hit takes the exact per-ray Pallas
+    # phase-1. Round 4 measured exact-everywhere ahead (0.2838 vs
+    # 0.2876 s) on that round's office; round 5's rebuilt office grew
+    # the shadow load (the long desk + near chairs occlude both lights)
+    # and the hull re-took it: fwd 0.1513 vs 0.1533 s pipelined,
+    # fwd+bwd 0.2434 vs 0.2455 — the looser lists cost less than the
+    # [R, K]-scale exact pass saves. Output stays exact either way (the
+    # in-kernel per-ray test is exact; phase 1 only picks the visit
+    # list/order). "hull"/"exact"/"frustum" force a variant ("frustum"
+    # measured SLOWER for closest-hit: 0.515 vs 0.466 s).
     mode = knobs.env_choice("MRT_PHASE1", "auto",
                             ("auto", "hull", "exact", "frustum"))
     kernel_ok = (not interpret
                  and knobs.env_bool01("MRT_PHASE1_KERNEL", True))
     use_hull = (any_hit and t_max is not None
-                and (mode == "hull" or (mode == "auto" and not kernel_ok)))
+                and mode in ("hull", "auto"))
     if mode == "frustum" or use_hull:
         o_s = o4[:, :3].reshape(n_sub, SUB, 3)
         d_s = d4[:, :3].reshape(n_sub, SUB, 3)
