@@ -226,7 +226,15 @@ def _loss_grad_tiled(scene, o, d, target, w, cfg, tile):
         # second time in the backward (measured +8 ms/frame)
         if (knobs.env_bool01("MRT_REPLAY_CKPT", True)
                 and not cfg.resolved_fused_shade_grad(scene)):
-            shade_loss = jax.checkpoint(shade_loss)
+            # prevent_cse=False was tried (the checkpoint sits inside a
+            # lax.scan body, where jax.checkpoint's docs call the CSE
+            # barriers unnecessary) and measured MUCH slower: fwd+bwd
+            # pipelined 0.340 vs 0.244 s — without the barriers XLA
+            # CSEs the rematerialized shading INTO saved residuals,
+            # recreating the no-checkpoint residual-traffic failure
+            # (MRT_REPLAY_CKPT=0: 0.377 s). The barriers stay.
+            prevent = knobs.env_bool01("MRT_CKPT_PREVENT_CSE", True)
+            shade_loss = jax.checkpoint(shade_loss, prevent_cse=prevent)
 
         def loss_fn(p):
             # packed gather rows built ONCE per pass (shade.ShadeGeom):

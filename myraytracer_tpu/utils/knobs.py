@@ -24,6 +24,7 @@ REGISTRY = {
     "MRT_LOSS_TILE": ("23040", "int >= 1024", "loss/grad remat tile; PERF round-2/4 sweeps"),
     "MRT_TWO_PHASE": ("1", "0|1", "topology+replay split for grads (render.py)"),
     "MRT_REPLAY_CKPT": ("1", "0|1", "checkpoint the shading replay; PERF round-4 A/B"),
+    "MRT_CKPT_PREVENT_CSE": ("1", "0|1", "checkpoint CSE barriers; 0 measured 0.340 vs 0.244 (rejected)"),
     "MRT_SHADOW_ORDER": ("light", "light|ray", "shadow batch order; PERF round-3 sweep"),
     "MRT_FUSED_SHADE_GRAD": ("0", "0|1", "custom-VJP shading replay (measured slower; opt-in)"),
     "MRT_RAY_TILE": ("1024", "int multiple of 1024", "pallas_cluster block rays"),

@@ -34,13 +34,13 @@ SCALE = 0.25
 #: are deterministic on the CPU test backend so the margins only cover
 #: future intentional scene edits)
 THRESHOLDS = {
-    "o_01_spheres": (0.072, 0.178),   # measured 0.0517 / 0.1282 (round-4 rebuild)
+    "o_01_spheres": (0.060, 0.176),   # measured 0.0401 / 0.1261 (round-5 palette fit)
     "o_02_shadow": (0.043, 0.115),    # measured 0.0224 / 0.0644 (round-4 rebuild)
     "o_03_mirror": (0.055, 0.180),    # measured 0.0341 / 0.1298 (round-4 rebuild)
     "o_04_molecule": (0.054, 0.176),  # measured 0.0337 / 0.1254 (round-4 rebuild)
     "o_05_cube": (0.039, 0.201),      # measured 0.0185 / 0.1507
     "o_06_mask": (0.045, 0.225),      # measured 0.0247 / 0.1742 (round-4 re-fit)
-    "o_07_toon_faces": (0.065, 0.184),  # measured 0.0454 / 0.1339 (round-4 rebuild)
+    "o_07_toon_faces": (0.057, 0.158),  # measured 0.0366 / 0.1076 (round-5 palette fit)
     "o_08_office": (0.046, 0.170),    # measured 0.0256 / 0.1172 (round-5 composition rebuild + palette fit)
     "o_09_rings": (0.048, 0.219),     # measured 0.0281 / 0.1688 (round-4 rebuild)
     "o_10_pokemon": (0.069, 0.176),   # measured 0.0488 / 0.1261 (round-4 rebuild)
