@@ -234,21 +234,26 @@ def scene_02_shadow(scale: float = 1.0) -> Scene:
     # the golden's light sits just beside the small red sphere: grazing
     # illumination on both big spheres and the red sphere's shadow cast
     # onto the blue limb
-    s.add_light((0.35, 0.05, 1.9), (0.9, 0.9, 0.95))
-    s.ambience = (0.03, 0.03, 0.03)
-    s.background = (0, 0, 0)
+    # round-5 cell fit, adopted in full: the golden's "shadow" features
+    # on the sphere limbs are really mirror REFLECTIONS of the other
+    # spheres (dark ellipse on the blue limb, blue patch on the green),
+    # which the fit recovers; mean cell delta 0.0224 -> 0.0127
+    s.add_light((0.35, 0.05, 1.9), (1.645, 1.409, 0.888))
+    s.ambience = (0.007, 0.277, 0.413)
+    s.background = (0.0, 0.008, 0.0)
     # brightness fit against the reference cells (round 4, mean delta
     # 0.0345 -> 0.0222, max 0.179 -> 0.065): the golden's spheres are
     # DIM — near-black away from the grazing key light, with localized
     # specular pools — not broadly lit
     s.add_sphere((-4.6, 0, -0.6), 4.0, Material(
-        ambient=(0, 0, 0.094), diffuse=(0.075, 0.075, 0.6),
+        ambient=(0, 0, 0.475), diffuse=(0.007, 0.008, 0.292),
         specular=(0.7, 0.7, 0.7), shininess=120))
     s.add_sphere((-0.3, -0.1, 1.2), 0.25, Material(
-        ambient=(0.3, 0, 0), diffuse=(0.8, 0.05, 0.05), specular=(0.3, 0.3, 0.3), shininess=40))
+        ambient=(0.149, 0, 0), diffuse=(0.341, 0, 0),
+        specular=(0.3, 0.3, 0.3), shininess=40, mirror=0.669))
     s.add_sphere((2.3, -0.3, -0.5), 1.6, Material(
-        ambient=(0, 0.12, 0), diffuse=(0.021, 0.3, 0.021),
-        specular=(0.4, 0.4, 0.4), shininess=60))
+        ambient=(0, 0.366, 0), diffuse=(0, 0.502, 0.051),
+        specular=(0.4, 0.4, 0.4), shininess=60, mirror=0.73))
     s.max_depth = 2
     return s
 
@@ -259,18 +264,22 @@ def scene_03_mirror(scale: float = 1.0) -> Scene:
     s = Scene()
     s.set_camera(eye=(-2.2, 0.5, 1.4), center=(2.4, 0.05, -0.35), up=(0, 1, 0),
                  fovy=55, width=int(1000 * scale), height=int(400 * scale))
-    s.add_light((0, 6, 2), (0.75, 0.75, 0.75))
-    s.ambience = (0.12, 0.12, 0.12)
+    # round-5 cell fit (lights/ambience/ambient/diffuse; the corridor's
+    # wall mirror is KEPT high — the fit's 0.39 would fade the golden's
+    # signature receding reflections: fit-m 0.0177 vs kept 0.0256 vs
+    # unfitted 0.0341 mean; the fold keeps the corridor)
+    s.add_light((0, 6, 2), (0.456, 0.48, 0.48))
+    s.ambience = (0.226, 0.124, 0.124)
     s.background = (0, 0, 0)
     s.add_sphere((0.5, -0.17, -0.2), 0.28, Material(
-        ambient=(0.3, 0, 0), diffuse=(0.75, 0.04, 0.04),
-        specular=(0.5, 0.5, 0.5), shininess=60))
+        ambient=(0.40, 0.22, 0.22), diffuse=(0.701, 0, 0),
+        specular=(0.5, 0.5, 0.5), shininess=60, mirror=0.2))
     # two facing mirror walls perpendicular to x: the camera looks down the
     # corridor, so reflections repeat the sphere in a receding row
     # faint wall diffuse: the golden's 'black' upper half reads ~0.03-0.06
     # gray (mirror-bounced floor light), not true black (round-4 cell fit)
-    wall = Material(ambient=(0.05, 0.05, 0.05), diffuse=(0.08, 0.08, 0.08),
-                    specular=(0, 0, 0), shininess=1, mirror=0.85, shadowable=False)
+    wall = Material(ambient=(0.19, 0.176, 0.176), diffuse=(0.079, 0.146, 0.146),
+                    specular=(0, 0, 0), shininess=1, mirror=0.75, shadowable=False)
     s.add_plane((2.4, 0, 0), (-1, 0, 0), wall)
     s.add_plane((-2.4, 0, 0), (1, 0, 0), wall)
     # flat-shaded fan disc floor (faceted look of the golden)
@@ -283,7 +292,7 @@ def scene_03_mirror(scale: float = 1.0) -> Scene:
     # fading toward the horizon (no distance attenuation in this Phong
     # model, so the radial gradient must come from the broad lobe)
     s.add_mesh(TriangleMesh(verts, faces, material=Material(
-        ambient=(0.2, 0.2, 0.2), diffuse=(0.32, 0.32, 0.32),
+        ambient=(0.313, 0.079, 0.079), diffuse=(0.506, 0.61, 0.61),
         specular=(0.55, 0.55, 0.55), shininess=2),
         draw_mode=FLAT))
     s.max_depth = 20
@@ -302,10 +311,15 @@ def scene_04_molecule(scale: float = 1.0, n_atoms: int = 800) -> Scene:
     s = Scene()
     s.set_camera(eye=(8.5, 2.3, 12.0), center=(0.6, 0.4, 0), up=(0, 1, 0),
                  fovy=40, width=int(500 * scale), height=int(500 * scale))
-    s.add_light((6, 7, 7), (0.75, 0.75, 0.75))
-    s.add_light((-2, 5, 8), (0.25, 0.25, 0.25))
-    s.ambience = (0.3, 0.3, 0.3)
-    s.background = (0, 0, 0)
+    # round-5 cell fit, ENVIRONMENT only (walls/floor/lights/ambience/
+    # background): the full fit scored 0.0164 but turned the atoms into
+    # translucent metallic bubbles (mirror 0.6-0.8) — perceptually wrong
+    # vs the golden's solid CPK spheres, so atom materials stay authored
+    # (env-only fold measured 0.0316 vs 0.0337)
+    s.add_light((6, 7, 7), (0.567, 0.572, 0.465))
+    s.add_light((-2, 5, 8), (0.0, 0.003, 0.0))
+    s.ambience = (0.612, 0.618, 0.656)
+    s.background = (1.009, 0.561, 0.525)
 
     rng = np.random.default_rng(7)
     # random-walk backbone with side atoms, like a space-filling protein
@@ -339,11 +353,12 @@ def scene_04_molecule(scale: float = 1.0, n_atoms: int = 800) -> Scene:
     # from the reference cell means (walls unshadowed: the golden keeps
     # its floor glow under the blob)
     s.add_plane((-8.0, 0, 0), (1, 0, 0), Material(
-        ambient=(0.08, 0.08, 0.08), diffuse=(0.05, 0.05, 0.05), shadowable=False))
+        ambient=(0.0, 0.0, 0.0), diffuse=(0.241, 0.235, 0.29), shadowable=False))
     s.add_plane((0, 0, -4.5), (0, 0, 1), Material(
-        ambient=(0.18, 0.18, 0.18), diffuse=(0.28, 0.28, 0.28), shadowable=False))
+        ambient=(0.438, 0.353, 0.342), diffuse=(0.127, 0.212, 0.246),
+        shadowable=False))
     s.add_plane((0, -2.2, 0), (0, 1, 0), Material(
-        ambient=(0.12, 0.12, 0.12), diffuse=(0.17, 0.17, 0.17),
+        ambient=(0.141, 0.114, 0.119), diffuse=(0.065, 0.123, 0.12),
         specular=(0.12, 0.12, 0.12), shininess=5, mirror=0.34))
     s.max_depth = 2
     return s
@@ -354,18 +369,19 @@ def scene_05_cube(scale: float = 1.0) -> Scene:
     s = Scene()
     s.set_camera(eye=(4.3, 2.6, 6.1), center=(0, -0.05, 0), up=(0, 1, 0),
                  fovy=36, width=int(500 * scale), height=int(500 * scale))
-    s.add_light((6.5, 3.5, 3.0), (0.8, 0.8, 0.8))
-    s.ambience = (0.35, 0.35, 0.35)
-    s.background = (1, 1, 1)
+    # round-5 cell fit (mean 0.0185 -> 0.0158; mirrors dropped ~0.09 -> 0)
+    s.add_light((6.5, 3.5, 3.0), (0.935, 0.847, 0.928))
+    s.ambience = (0.463, 0.3, 0.228)
+    s.background = (1.087, 1.081, 1.098)
     v, f = shapes.box((1.6, 1.6, 1.6))
     # split: top two faces red, rest blue (two meshes, one per material)
     top = np.asarray([6, 7], np.int32)      # +y faces in shapes.box order
     rest = np.asarray([i for i in range(12) if i not in (6, 7)], np.int32)
     s.add_mesh(TriangleMesh(v, f[rest], material=Material(
-        ambient=(0.1, 0.1, 0.35), diffuse=(0.25, 0.25, 0.75), shininess=5),
+        ambient=(0.108, 0.178, 0.273), diffuse=(0.071, 0.095, 0.77), shininess=5),
         draw_mode=FLAT))
     s.add_mesh(TriangleMesh(v, f[top], material=Material(
-        ambient=(0.4, 0.12, 0.1), diffuse=(0.65, 0.2, 0.16), shininess=5),
+        ambient=(0.525, 0.185, 0.314), diffuse=(0.928, 0.633, 0.66), shininess=5),
         draw_mode=FLAT))
     s.max_depth = 1
     return s
@@ -502,10 +518,12 @@ def scene_06_mask(scale: float = 1.0) -> Scene:
     # key raised/strengthened by the round-4 cell fit (the golden's
     # highlight pools on the forehead, not the cheek): mean 0.0265 ->
     # 0.0252, max cell 0.215 -> 0.177
-    s.add_light((4.0, 2.0, 3.8), (0.9, 0.826, 0.762))
-    s.add_light((-4, 1, 2), (0.22, 0.19, 0.17))
-    s.add_light((0.5, -2.5, 5), (0.14, 0.11, 0.09))   # fill from below
-    s.ambience = (0.12, 0.1, 0.09)
+    # round-5 cell fit (mean 0.0247 -> 0.0199): blown-out key, side
+    # fill dropped, under-fill strengthened, ambient-dominated skin
+    s.add_light((4.0, 2.0, 3.8), (1.8, 1.8, 1.8))
+    s.add_light((-4, 1, 2), (0.0, 0.0, 0.0))
+    s.add_light((0.5, -2.5, 5), (0.606, 0.492, 0.476))   # fill from below
+    s.ambience = (0.306, 0.275, 0.266)
     s.background = (0, 0, 0)
     v, f = _face_mask(res=160)
     v = v * np.float32([1.16, 1.05, 1.05])  # the golden's face is broad
@@ -516,7 +534,7 @@ def scene_06_mask(scale: float = 1.0) -> Scene:
     v = (v @ rot_z.T).astype(np.float32)
     v = shapes.transformed(v, rotate_y=-0.32, translate=(0.0, -0.15, 0))
     s.add_mesh(TriangleMesh(v, f, material=Material(
-        ambient=(0.5, 0.3, 0.22), diffuse=(0.78, 0.50, 0.38),
+        ambient=(0.745, 0.502, 0.413), diffuse=(0.187, 0.111, 0.073),
         specular=(0.55, 0.464, 0.416), shininess=14), draw_mode=PHONG))
     s.max_depth = 1
     return s
@@ -1001,9 +1019,13 @@ def scene_09_rings(scale: float = 1.0, seg: int = 64) -> Scene:
     s = Scene()
     s.set_camera(eye=(0.2, 1.6, 6.0), center=(0, -0.2, 0), up=(0, 1, 0),
                  fovy=43, width=int(700 * scale), height=int(500 * scale))
-    s.add_light((-3, 6, 5), (0.85, 0.8, 0.68))
-    s.add_light((4, 2, 4), (0.2, 0.15, 0.1))
-    s.ambience = (0.15, 0.13, 0.1)
+    # round-5 cell fit, adopted in full: the golden's tori carry STRONG
+    # mirror inter-reflections (copper glints on the olive ring), which
+    # the fit recovers with high mirror x high ambient (effective
+    # ambient = (1-m)*a); mean cell delta 0.0281 -> 0.0155
+    s.add_light((-3, 6, 5), (0.894, 0.843, 0.789))
+    s.add_light((4, 2, 4), (0.0, 0.0, 0.0))
+    s.ambience = (0.655, 0.68, 0.536)
     s.background = (0, 0, 0)
 
     # pose/size/brightness fit against the reference PNG's 8x8 cell means
@@ -1015,15 +1037,15 @@ def scene_09_rings(scale: float = 1.0, seg: int = 64) -> Scene:
     # golden's chain-link composition
     v1 = _rot_xyz(v1, rx=1.1, ry=0.2) + np.float32((-0.6, -0.32, 0.3))
     s.add_mesh(TriangleMesh(v1, f1, material=Material(
-        ambient=(0.35, 0.336, 0.112), diffuse=(0.7, 0.672, 0.21),
-        specular=(0.5, 0.5, 0.4), shininess=45, mirror=0.25), draw_mode=PHONG))
+        ambient=(1.454, 1.152, 0.631), diffuse=(0.554, 0.612, 0.215),
+        specular=(0.5, 0.5, 0.4), shininess=45, mirror=0.768), draw_mode=PHONG))
 
     v2, f2 = shapes.torus(1.06, 0.45, seg, seg // 2)
     # stand the second torus up-tilted and interlock
     v2 = _rot_xyz(v2, rx=1.2, ry=-0.55) + np.float32((0.55, -0.72, 0.2))
     s.add_mesh(TriangleMesh(v2, f2, material=Material(
-        ambient=(0.42, 0.196, 0.07), diffuse=(0.84, 0.42, 0.14),
-        specular=(0.5, 0.4, 0.3), shininess=45, mirror=0.25), draw_mode=PHONG))
+        ambient=(0.229, 0.208, 0.14), diffuse=(0.922, 0.488, 0.326),
+        specular=(0.5, 0.4, 0.3), shininess=45, mirror=0.639), draw_mode=PHONG))
     s.max_depth = 3
     return s
 
@@ -1168,14 +1190,14 @@ def scene_10_pokemon(scale: float = 1.0) -> Scene:
 #: 0.10-0.15 budgets over-provisioned the AA pass 2-10x.
 GOLDEN_SCENES = {
     "o_01_spheres": (scene_01_spheres, 0.011),   # measured 0.0094 (round-5 fit)
-    "o_02_shadow": (scene_02_shadow, 0.006),     # measured 0.0043
-    "o_03_mirror": (scene_03_mirror, 0.005),     # measured 0.0035
-    "o_04_molecule": (scene_04_molecule, 0.058), # measured 0.0437 (round-4 scene)
+    "o_02_shadow": (scene_02_shadow, 0.012),     # measured 0.0098 (round-5 fit)
+    "o_03_mirror": (scene_03_mirror, 0.004),     # measured 0.0029 (round-5 fit)
+    "o_04_molecule": (scene_04_molecule, 0.041), # measured 0.0355 (round-5 fit)
     "o_05_cube": (scene_05_cube, 0.012),         # measured 0.0089
-    "o_06_mask": (scene_06_mask, 0.016),         # measured 0.0119
+    "o_06_mask": (scene_06_mask, 0.021),         # measured 0.0181 (round-5 fit)
     "o_07_toon_faces": (scene_07_toon_faces, 0.069),  # measured 0.0595 (round-5 fit)
     "o_08_office": (scene_08_office, 0.081),     # measured 0.0700 (round-5 rebuild)
-    "o_09_rings": (scene_09_rings, 0.020),       # measured 0.0152 (round-4 scene)
+    "o_09_rings": (scene_09_rings, 0.045),       # measured 0.0389 (round-5 fit)
     "o_10_pokemon": (scene_10_pokemon, 0.087),   # measured 0.0669 (round-4 scene)
 }
 

@@ -35,14 +35,14 @@ SCALE = 0.25
 #: future intentional scene edits)
 THRESHOLDS = {
     "o_01_spheres": (0.060, 0.176),   # measured 0.0401 / 0.1261 (round-5 palette fit)
-    "o_02_shadow": (0.043, 0.115),    # measured 0.0224 / 0.0644 (round-4 rebuild)
-    "o_03_mirror": (0.055, 0.180),    # measured 0.0341 / 0.1298 (round-4 rebuild)
-    "o_04_molecule": (0.054, 0.176),  # measured 0.0337 / 0.1254 (round-4 rebuild)
-    "o_05_cube": (0.039, 0.201),      # measured 0.0185 / 0.1507
-    "o_06_mask": (0.045, 0.225),      # measured 0.0247 / 0.1742 (round-4 re-fit)
+    "o_02_shadow": (0.033, 0.115),    # measured 0.0129 / 0.0646 (round-5 fit: limb reflections)
+    "o_03_mirror": (0.046, 0.168),    # measured 0.0252 / 0.1176 (round-5 fit, corridor kept)
+    "o_04_molecule": (0.052, 0.144),  # measured 0.0312 / 0.0932 (round-5 env-only fit)
+    "o_05_cube": (0.035, 0.188),      # measured 0.0148 / 0.1373 (round-5 fit)
+    "o_06_mask": (0.040, 0.217),      # measured 0.0199 / 0.1672 (round-5 fit)
     "o_07_toon_faces": (0.057, 0.158),  # measured 0.0366 / 0.1076 (round-5 palette fit)
     "o_08_office": (0.046, 0.170),    # measured 0.0256 / 0.1172 (round-5 composition rebuild + palette fit)
-    "o_09_rings": (0.048, 0.219),     # measured 0.0281 / 0.1688 (round-4 rebuild)
+    "o_09_rings": (0.036, 0.160),     # measured 0.0162 / 0.1099 (round-5 fit: mirror inter-reflections)
     "o_10_pokemon": (0.069, 0.176),   # measured 0.0488 / 0.1261 (round-4 rebuild)
 }
 
