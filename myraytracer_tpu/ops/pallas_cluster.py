@@ -523,6 +523,7 @@ def intersect_clusters_pallas(
     active: Optional[jnp.ndarray] = None,
     cl_const: Optional[jnp.ndarray] = None,
     interpret: bool = False,
+    phase1: Optional[str] = None,
 ) -> TriHit:
     """Pallas cluster scan; contract of traverse.traverse_bvh.
 
@@ -573,7 +574,7 @@ def intersect_clusters_pallas(
                 t_max=None if t_max is None else t0[sl],
                 any_hit=any_hit,
                 active=None if active is None else act[sl],
-                cl_const=cl_const, interpret=interpret))
+                cl_const=cl_const, interpret=interpret, phase1=phase1))
         return TriHit(jnp.concatenate([h.idx for h in outs]),
                       jnp.concatenate([h.t for h in outs]))
 
@@ -605,8 +606,13 @@ def intersect_clusters_pallas(
     # in-kernel per-ray test is exact; phase 1 only picks the visit
     # list/order). "hull"/"exact"/"frustum" force a variant ("frustum"
     # measured SLOWER for closest-hit: 0.515 vs 0.466 s).
-    mode = knobs.env_choice("MRT_PHASE1", "auto",
-                            ("auto", "hull", "exact", "frustum"))
+    # per-call override (TraceConfig.phase1) beats the env knob: the AA
+    # refine forces "exact" — its SCATTERED subray bundles make the
+    # any-hit hulls catastrophically loose (office AA 0.323 with hull vs
+    # 0.285 with exact), while coherent primary/shadow tiles keep the
+    # hull default
+    mode = phase1 or knobs.env_choice("MRT_PHASE1", "auto",
+                                      ("auto", "hull", "exact", "frustum"))
     kernel_ok = (not interpret
                  and knobs.env_bool01("MRT_PHASE1_KERNEL", True))
     use_hull = (any_hit and t_max is not None

@@ -422,8 +422,13 @@ def _aa_refine(
     """
     top_idx, sel, o, d = _aa_rays(camera, img1, subp, threshold,
                                   budget_frac)
-    # the AA pass is never differentiated: fused Pallas shading is safe
-    colors = _trace_tiled(scene, o, d, cfg._replace(fused_shade=True), tile)
+    # the AA pass is never differentiated: fused Pallas shading is safe.
+    # phase1="exact": the compacted subray batch is screen-SCATTERED, so
+    # the any-hit hull unions are uselessly loose here (office AA 0.323
+    # with hull vs 0.285 with exact; coherent passes keep the hull)
+    colors = _trace_tiled(scene, o, d,
+                          cfg._replace(fused_shade=True, phase1="exact"),
+                          tile)
     return _aa_apply(camera, img1, top_idx, sel, colors, subp)
 
 

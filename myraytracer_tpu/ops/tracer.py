@@ -88,6 +88,12 @@ class TraceConfig(NamedTuple):
     #: tests/test_shade_grad.py, for hardware where the relayout
     #: economics change.
     fused_shade_grad: bool | None = None
+    #: per-config phase-1 compaction override passed to the cluster
+    #: megakernel (None = the MRT_PHASE1 env default). The AA refine
+    #: sets "exact": its scattered subray bundles make the any-hit
+    #: hulls uselessly loose (office AA 0.323 hull vs 0.285 exact),
+    #: while the coherent primary/shadow tiles keep the hull default.
+    phase1: str | None = None
 
     def resolved_method(self) -> str:
         if self.tri_method == "auto":
@@ -174,6 +180,7 @@ def _closest_tris(scene, o, d, active, cfg, tri_flat, cl_tris,
                 scene, o, d, t_max=t_max, any_hit=any_hit, active=active,
                 cl_const=cl_tris,
                 interpret=jax.default_backend() != "tpu",
+                phase1=cfg.phase1,
             )
         from myraytracer_tpu.ops import cluster as cl
 
@@ -501,7 +508,8 @@ class _Bounce(NamedTuple):
     color: jnp.ndarray
 
 
-def _fused_segment_step(scene, geom, cl_tris, interp, carry):
+def _fused_segment_step(scene, geom, cl_tris, interp, carry,
+                        phase1=None):
     """One Whitted segment through the fused kernel pipeline, shared by
     trace() and trace_topology(): closest-hit merge over every primitive
     kind (triangles via the cluster megakernel, analytic kinds via the
@@ -533,7 +541,7 @@ def _fused_segment_step(scene, geom, cl_tris, interp, carry):
     if scene.n_tris:
         tri = intersect_clusters_pallas(
             scene, o_ng, d_ng, active=live, cl_const=cl_tris,
-            interpret=interp)
+            interpret=interp, phase1=phase1)
         better = tri.t < t
         kind = jnp.where(better, shade.KIND_TRI, kind)
         pidx = jnp.where(better, jnp.maximum(tri.idx, 0), pidx)
@@ -560,7 +568,7 @@ def _fused_segment_step(scene, geom, cl_tris, interp, carry):
     if scene.n_tris:
         occ = intersect_clusters_pallas(
             scene, so, sd, t_max=st, any_hit=True, active=sactb,
-            cl_const=cl_tris, interpret=interp)
+            cl_const=cl_tris, interpret=interp, phase1=phase1)
         shadow = (occ.idx >= 0).reshape(L, R)
     if has_ana:
         ana_sh = _analytic_occlusion(scene, so[:, :3], sd[:, :3], st)
@@ -612,7 +620,8 @@ def trace(
 
         def segment_fused(carry: _Bounce) -> _Bounce:
             nxt, add, _ = _fused_segment_step(scene, geom, cl_tris,
-                                              interp, carry)
+                                              interp, carry,
+                                              phase1=cfg.phase1)
             return nxt._replace(color=carry.color + add)
 
         def body_fused(carry: _Bounce, _):
@@ -716,7 +725,8 @@ def trace_topology(
 
         def segment_fused(carry):
             nxt, _, rec = _fused_segment_step(scene, geom, cl_tris,
-                                              interp, carry)
+                                              interp, carry,
+                                              phase1=cfg.phase1)
             return nxt, rec
 
         def body_fused(carry, _):

@@ -159,8 +159,9 @@ def render_aa_sharded(scene, camera, mesh,
     top_idx, sel, o, d = _aa_select_program(subp, threshold, budget_frac)(
         camera, img1)
     o, d, Rr = _pad_rays(o, d, n_shards * s2)
-    colors = _sharded_trace_program(mesh, cfg._replace(fused_shade=True),
-                                    tile_eff, s2)(scene, o, d)[:Rr]
+    colors = _sharded_trace_program(
+        mesh, cfg._replace(fused_shade=True, phase1="exact"),
+        tile_eff, s2)(scene, o, d)[:Rr]
     return _aa_apply_program(subp)(camera, img1, top_idx, sel, colors)
 
 
