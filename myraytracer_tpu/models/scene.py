@@ -397,6 +397,17 @@ class Scene:
 
         lp = np.asarray([l.position for l in self.lights], np.float32).reshape(-1, 3)
         lc = np.asarray([l.color for l in self.lights], np.float32).reshape(-1, 3)
+        # static dead-light culling: a light whose color is exactly zero
+        # contributes nothing to any pixel (its diffuse/specular terms are
+        # multiplied by the color), yet would still trace a full [R]
+        # shadow-ray batch per Whitted segment. Cull it at build — the
+        # static analogue of the mirror-free live_depth trim below.
+        # (Fidelity fits drive fill lights to zero on several golden
+        # scenes; a user who wants to OPTIMIZE a dark light's color must
+        # seed it nonzero, since culling removes it from the pytree.)
+        if len(lc):
+            live = np.any(lc != 0.0, axis=1)
+            lp, lc = lp[live], lc[live]
 
         return SceneData(
             sphere_center=_f32(s_center), sphere_radius=_f32(s_radius), sphere_mat=_i32(s_mat),
