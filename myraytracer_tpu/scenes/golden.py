@@ -98,6 +98,11 @@ def _sand_texture(w=768, h=384, seed=3):
     # read ~0.6 vs ~0.45 mid-ground); bake the falloff along v (quad v
     # increases toward the near edge) — round-4 cell-mean fit
     tex *= (1.0 + 0.4 * np.linspace(0, 1, h, dtype=np.float32))[:, None, None]
+    # horizontal vignette: the golden's sand reads darker at both frame
+    # edges (round-5 column-mean fit: ours +0.05..+0.10 at the edge
+    # cells); u maps left-right in image
+    u = np.linspace(0, 1, w, dtype=np.float32)[None, :, None]
+    tex *= 0.84 + 0.16 * np.exp(-(((u - 0.5) / 0.26) ** 2))
     return np.clip(tex, 0, 1)
 
 
@@ -119,7 +124,11 @@ def _starfield_texture(w=1024, h=512, seed=5):
     ys, xs = np.mgrid[0:h, 0:w].astype(np.float32)
     band = (np.exp(-(((ys - 0.66 * h) / (0.09 * h)) ** 2))
             * np.exp(-(((xs - 0.47 * w) / (0.07 * w)) ** 2)))
-    sky += (0.25 * band)[..., None] * np.float32([0.55, 0.95, 1.0])
+    sky += (0.22 * band)[..., None] * np.float32([0.55, 0.95, 1.0])
+    # horizontal vignette on the base gradient: the golden's sky falls
+    # to ~0.15 at the frame edges while ours stayed ~0.25 (round-5
+    # column-mean fit); the band itself is unaffected
+    sky *= 0.70 + 0.30 * np.exp(-(((xs / w - 0.47) / 0.20) ** 2))[..., None]
     # stars: many faint, few bright, denser inside the band (bright
     # enough to survive the backdrop quad's n.l lighting attenuation)
     for n_stars, lo, hi in [(6500, 0.25, 0.6), (1400, 0.6, 1.0)]:
@@ -172,9 +181,10 @@ class _Parts:
     def add(self, mat_key, mat, vf):
         self.groups.setdefault(mat_key, (mat, []))[1].append(vf)
 
-    def emit(self, translate=(0, 0, 0), ry=0.0):
+    def emit(self, translate=(0, 0, 0), ry=0.0, scale=1.0):
         for mat, parts in self.groups.values():
             v, f = shapes.merge(*parts)
+            v = (v * np.float32(scale)).astype(np.float32)
             v = shapes.transformed(v, rotate_y=ry, translate=translate)
             self.scene.add_mesh(TriangleMesh(v, f, material=mat,
                                              draw_mode=PHONG))
@@ -1115,7 +1125,10 @@ def scene_10_pokemon(scale: float = 1.0) -> Scene:
                                 rz=0.55, taper=0.6, n=12))
     # shaggy chest fur hint
     parts.add("w", white, _ell((0.35, 0.72, 0), (0.3, 0.24, 0.26), n=12))
-    parts.emit(translate=(-2.3, 0.0, 0.1), ry=0.12)
+    # shifted right in round 5: the golden's left creature is centered
+    # nearer the frame third (cells (3,1)/(3,2) carried a +0.12/-0.12
+    # adjacent pair = body one cell left of the golden's)
+    parts.emit(translate=(-1.88, 0.0, 0.25), ry=0.35)
 
     # -- middle: small yellow biped with huge ears, facing the camera --
     parts.add("y", yellow, _ell((0, 0.30, 0), (0.24, 0.27, 0.21), n=16))
@@ -1198,7 +1211,7 @@ GOLDEN_SCENES = {
     "o_07_toon_faces": (scene_07_toon_faces, 0.069),  # measured 0.0595 (round-5 fit)
     "o_08_office": (scene_08_office, 0.081),     # measured 0.0700 (round-5 rebuild)
     "o_09_rings": (scene_09_rings, 0.045),       # measured 0.0389 (round-5 fit)
-    "o_10_pokemon": (scene_10_pokemon, 0.087),   # measured 0.0669 (round-4 scene)
+    "o_10_pokemon": (scene_10_pokemon, 0.077),   # measured 0.0670 (round-5)
 }
 
 
