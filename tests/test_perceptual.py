@@ -34,7 +34,7 @@ SCALE = 0.25
 #: are deterministic on the CPU test backend so the margins only cover
 #: future intentional scene edits)
 THRESHOLDS = {
-    "o_01_spheres": (0.060, 0.176),   # measured 0.0401 / 0.1261 (round-5 palette fit)
+    "o_01_spheres": (0.043, 0.110),   # measured 0.0224 / 0.0592 (round-5 geometric solve + refit)
     "o_02_shadow": (0.033, 0.115),    # measured 0.0129 / 0.0646 (round-5 fit: limb reflections)
     "o_03_mirror": (0.046, 0.168),    # measured 0.0252 / 0.1176 (round-5 fit, corridor kept)
     "o_04_molecule": (0.052, 0.144),  # measured 0.0312 / 0.0932 (round-5 env-only fit)
