@@ -37,7 +37,7 @@ THRESHOLDS = {
     "o_01_spheres": (0.043, 0.110),   # measured 0.0224 / 0.0592 (round-5 geometric solve + refit)
     "o_02_shadow": (0.033, 0.115),    # measured 0.0129 / 0.0646 (round-5 fit: limb reflections)
     "o_03_mirror": (0.046, 0.168),    # measured 0.0252 / 0.1176 (round-5 fit, corridor kept)
-    "o_04_molecule": (0.052, 0.144),  # measured 0.0312 / 0.0932 (round-5 env-only fit)
+    "o_04_molecule": (0.048, 0.122),  # measured 0.0273 / 0.0718 (round-5 env fit + seed sweep)
     "o_05_cube": (0.035, 0.188),      # measured 0.0148 / 0.1373 (round-5 fit)
     "o_06_mask": (0.040, 0.217),      # measured 0.0199 / 0.1672 (round-5 fit)
     "o_07_toon_faces": (0.057, 0.158),  # measured 0.0366 / 0.1076 (round-5 palette fit)
