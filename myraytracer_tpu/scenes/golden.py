@@ -1178,7 +1178,8 @@ def scene_10_pokemon(scale: float = 1.0) -> Scene:
                                rz=-0.5, taper=0.5, n=10))        # tail
     parts.add("r", ring_y, _ell((0.55, 1.12, 0), (0.1, 0.05, 0.07),
                                 rz=-0.5, n=8))                   # tail ring
-    parts.emit(translate=(2.25, 0.0, 0.0), ry=-0.15)
+    # shifted right in round 5 (blob centroid 23px left of the golden's)
+    parts.emit(translate=(2.7, 0.0, 0.0), ry=-0.15)
 
     # -- floating dark critter in the sky (top-center of the golden) --
     parts.add("k", black, _ell((0, 0, 0), (0.17, 0.14, 0.12), n=12))

@@ -43,7 +43,7 @@ THRESHOLDS = {
     "o_07_toon_faces": (0.057, 0.158),  # measured 0.0366 / 0.1076 (round-5 palette fit)
     "o_08_office": (0.046, 0.170),    # measured 0.0256 / 0.1172 (round-5 composition rebuild + palette fit)
     "o_09_rings": (0.036, 0.160),     # measured 0.0162 / 0.1099 (round-5 fit: mirror inter-reflections)
-    "o_10_pokemon": (0.063, 0.161),   # measured 0.0429 / 0.1110 (round-5 vignettes + creature shift)
+    "o_10_pokemon": (0.061, 0.161),   # measured 0.0408 / 0.1110 (round-5 vignettes + creature shifts)
 }
 
 
