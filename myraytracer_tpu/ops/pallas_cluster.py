@@ -561,7 +561,9 @@ def intersect_clusters_pallas(
     # (measured: K=601 with a 131072-ray batch asks for 2 x 640 KB and
     # fails to compile), so the batch is split into chunks whose tables
     # fit; results concatenate exactly (each ray is independent).
-    smem_budget = knobs.env_int("MRT_SMEM_TABLE_BUDGET", 600000, lo=4096)
+    # lo=1: tiny budgets are legitimate (tests force the chunked path
+    # with them); small values only split the batch further
+    smem_budget = knobs.env_int("MRT_SMEM_TABLE_BUDGET", 600000, lo=1)
     Kc = cl_bbmin.shape[0]
     max_sub = max(RAY_TILE // SUB, smem_budget // (8 * (Kc + padk)))
     r_chunk = max(RAY_TILE, (max_sub * SUB // RAY_TILE) * RAY_TILE)

@@ -30,7 +30,7 @@ REGISTRY = {
     "MRT_RAY_TILE": ("1024", "int multiple of 1024", "pallas_cluster block rays"),
     "MRT_SUB": ("512", "int divisor of RAY_TILE", "compaction subgroup; round-2 sweep"),
     "MRT_GROUP": ("1", "int >= 1", "clusters per kernel loop iteration"),
-    "MRT_SMEM_TABLE_BUDGET": ("600000", "int >= 4096", "scalar-prefetch SMEM guard"),
+    "MRT_SMEM_TABLE_BUDGET": ("600000", "int >= 1", "scalar-prefetch SMEM guard (tiny values force chunking)"),
     "MRT_PHASE1": ("auto", "auto|hull|exact|frustum", "phase-1 compaction variant"),
     "MRT_P1_TILE": ("1024", "int multiple of 1024", "rays per phase-1 kernel program; bigger measured slower"),
     "MRT_PHASE1_KERNEL": ("1", "0|1", "fused Pallas phase-1 on TPU"),
