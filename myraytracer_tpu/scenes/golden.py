@@ -686,7 +686,7 @@ def scene_07_toon_faces(scale: float = 1.0) -> Scene:
     # the golden
     s.add_plane((0, -0.5, 0), (0, 1, 0), Material(
         ambient=(0.0, 0.0, 0.107), diffuse=(0.475, 0.486, 0.288),
-        specular=(0.25, 0.9, 0.25), shininess=8, mirror=0.12))
+        specular=(0.25, 0.9, 0.25), shininess=8, mirror=0.08))
     s.max_depth = 3
     return s
 
@@ -1213,7 +1213,7 @@ GOLDEN_SCENES = {
     "o_04_molecule": (scene_04_molecule, 0.038), # measured 0.0324 (round-5 seed 42)
     "o_05_cube": (scene_05_cube, 0.012),         # measured 0.0089
     "o_06_mask": (scene_06_mask, 0.021),         # measured 0.0181 (round-5 fit)
-    "o_07_toon_faces": (scene_07_toon_faces, 0.069),  # measured 0.0595 (round-5 fit)
+    "o_07_toon_faces": (scene_07_toon_faces, 0.061),  # measured 0.0523 (round-5)
     "o_08_office": (scene_08_office, 0.081),     # measured 0.0700 (round-5 rebuild)
     "o_09_rings": (scene_09_rings, 0.045),       # measured 0.0389 (round-5 fit)
     "o_10_pokemon": (scene_10_pokemon, 0.077),   # measured 0.0670 (round-5)

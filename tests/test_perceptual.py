@@ -40,7 +40,7 @@ THRESHOLDS = {
     "o_04_molecule": (0.048, 0.122),  # measured 0.0273 / 0.0718 (round-5 env fit + seed sweep)
     "o_05_cube": (0.035, 0.188),      # measured 0.0148 / 0.1373 (round-5 fit)
     "o_06_mask": (0.040, 0.217),      # measured 0.0199 / 0.1672 (round-5 fit)
-    "o_07_toon_faces": (0.057, 0.158),  # measured 0.0366 / 0.1076 (round-5 palette fit)
+    "o_07_toon_faces": (0.052, 0.172),  # measured 0.0321 / 0.1215 (round-5 fit + mirror 0.08)
     "o_08_office": (0.046, 0.170),    # measured 0.0256 / 0.1172 (round-5 composition rebuild + palette fit)
     "o_09_rings": (0.036, 0.160),     # measured 0.0162 / 0.1099 (round-5 fit: mirror inter-reflections)
     "o_10_pokemon": (0.061, 0.161),   # measured 0.0408 / 0.1110 (round-5 vignettes + creature shifts)
