@@ -134,3 +134,35 @@ class TestAdaptiveAA:
         assert diff[-1, :].max() == 0 and diff[:, -1].max() == 0
         # flat background interior untouched
         assert diff[2, 2] == 0
+
+
+def test_zero_color_lights_are_culled_image_exact():
+    """Scene.build statically drops lights whose color is exactly zero;
+    the packed arrays shrink and the image is bit-identical (a zero
+    light's diffuse/specular terms are scaled by its color, so it only
+    ever contributed dead shadow-ray work)."""
+    import numpy as np
+
+    from myraytracer_tpu.models.material import Material
+    from myraytracer_tpu.models.scene import Scene
+    from myraytracer_tpu.ops.render import render
+
+    def build(with_dead):
+        s = Scene()
+        s.set_camera(eye=(0, 1, 5), center=(0, 0, 0), up=(0, 1, 0),
+                     fovy=45, width=48, height=48)
+        s.add_light((2, 4, 4), (0.8, 0.7, 0.6))
+        if with_dead:
+            s.add_light((-3, 2, 1), (0.0, 0.0, 0.0))
+        s.add_sphere((0, 0, 0), 1.0, Material(diffuse=(0.7, 0.1, 0.1)))
+        s.add_plane((0, -1, 0), (0, 1, 0), Material(diffuse=(0.5,) * 3))
+        return s
+
+    live = build(with_dead=False)
+    dead = build(with_dead=True)
+    d_live = live.build()
+    d_dead = dead.build()
+    assert d_dead.n_lights == 1  # the zero light is culled at build
+    img_a = np.asarray(render(d_live, live.camera))
+    img_b = np.asarray(render(d_dead, dead.camera))
+    np.testing.assert_array_equal(img_a, img_b)
